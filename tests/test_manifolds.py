@@ -1,0 +1,175 @@
+"""Golden tests for the Lie-group layer: exp/log round trips (incl. theta ~ 0 and
+theta ~ pi), group axioms, Jacobian identities, cross-checks vs scipy Rotation
+(the authoritative-library cross-validation strategy of the reference, SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as ScipyRot
+
+from slam_tricks_tpu.manifolds import se2, se3, so2, so3
+
+RNG = np.random.default_rng(0)
+
+
+def rand_w(scale=1.0, n=64):
+    return jnp.asarray(RNG.normal(size=(n, 3)) * scale)
+
+
+class TestSO3:
+    def test_exp_matches_scipy(self):
+        w = rand_w(2.0)
+        R = jax.vmap(so3.exp)(w)
+        R_ref = ScipyRot.from_rotvec(np.array(w)).as_matrix()  # np.array: scipy needs writable
+        np.testing.assert_allclose(np.asarray(R), R_ref, atol=1e-12)
+
+    def test_log_matches_scipy(self):
+        R = jnp.asarray(ScipyRot.random(64, rng=RNG).as_matrix())
+        w = jax.vmap(so3.log)(R)
+        w_ref = ScipyRot.from_matrix(np.array(R)).as_rotvec()
+        np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-10)
+
+    @pytest.mark.parametrize("scale", [1e-12, 1e-6, 0.8])
+    def test_exp_log_roundtrip(self, scale):
+        # log returns the canonical (|w| <= pi) vector, so restrict norms < pi
+        w = rand_w(scale)
+        w = w / jnp.maximum(1.0, jnp.linalg.norm(w, axis=1, keepdims=True) / 3.0)
+        w_back = jax.vmap(lambda x: so3.log(so3.exp(x)))(w)
+        np.testing.assert_allclose(np.asarray(w_back), np.asarray(w), atol=1e-10, rtol=1e-8)
+
+    def test_log_near_pi(self):
+        axes = np.array(rand_w(1.0))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        for ang in [np.pi - 1e-5, np.pi - 1e-9, np.pi]:
+            w = jnp.asarray(axes * ang)
+            R = jax.vmap(so3.exp)(w)
+            w_back = jax.vmap(so3.log)(R)
+            # at exactly pi the sign is ambiguous; compare rotations
+            R_back = jax.vmap(so3.exp)(w_back)
+            np.testing.assert_allclose(np.asarray(R_back), np.asarray(R), atol=1e-7)
+
+    def test_group_axioms(self):
+        a, b = rand_w(), rand_w()
+        Ra, Rb = jax.vmap(so3.exp)(a), jax.vmap(so3.exp)(b)
+        I = jnp.broadcast_to(jnp.eye(3), Ra.shape)
+        np.testing.assert_allclose(
+            np.asarray(jax.vmap(so3.mul)(Ra, jax.vmap(so3.inv)(Ra))), np.asarray(I), atol=1e-13
+        )
+
+    def test_jacobians_vs_autodiff(self):
+        """Jl identity: d/dd exp(w + d)|_0 = ... checked via the defining relation
+        exp(w + dw) ~ exp(Jl(w) dw) exp(w)  =>  Jl = d(log(exp(w+d) exp(w)^-1))/dd."""
+        w = jnp.asarray(RNG.normal(size=3))
+
+        def f(d):
+            return so3.log(so3.exp(w + d) @ so3.exp(w).T)
+
+        J_auto = jax.jacfwd(f)(jnp.zeros(3))
+        np.testing.assert_allclose(np.asarray(J_auto), np.asarray(so3.jl(w)), atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(so3.jl_inv(w) @ so3.jl(w)), np.eye(3), atol=1e-12
+        )
+
+    def test_adjoint_identity(self):
+        w = jnp.asarray(RNG.normal(size=3))
+        R = so3.random(jax.random.PRNGKey(3), jnp.float64)
+        lhs = so3.exp(so3.adj(R) @ w)
+        rhs = R @ so3.exp(w) @ R.T
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-12)
+
+    def test_hat_vee(self):
+        w = jnp.asarray(RNG.normal(size=3))
+        np.testing.assert_allclose(np.asarray(so3.vee(so3.hat(w))), np.asarray(w))
+
+    def test_quat_roundtrip(self):
+        R = jnp.asarray(ScipyRot.random(32, rng=RNG).as_matrix())
+        R2 = jax.vmap(lambda r: so3.from_quat(so3.to_quat(r)))(R)
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-12)
+
+    def test_project(self):
+        M = jnp.asarray(RNG.normal(size=(3, 3)) * 0.1 + np.eye(3))
+        R = so3.project(M)
+        np.testing.assert_allclose(np.asarray(R @ R.T), np.eye(3), atol=1e-12)
+        assert np.linalg.det(np.asarray(R)) > 0
+
+    def test_grad_through_exp_at_zero(self):
+        """Solvers differentiate retract at delta=0 — must be finite (Taylor switch)."""
+        J = jax.jacfwd(so3.exp)(jnp.zeros(3))
+        assert np.all(np.isfinite(np.asarray(J)))
+        np.testing.assert_allclose(
+            np.asarray(J), np.asarray(jax.jacfwd(so3.hat)(jnp.zeros(3))), atol=1e-12
+        )
+
+
+class TestSE3:
+    def test_exp_log_roundtrip(self):
+        xi = jnp.asarray(RNG.normal(size=(64, 6)))
+        xi_back = jax.vmap(lambda x: se3.log(se3.exp(x)))(xi)
+        np.testing.assert_allclose(np.asarray(xi_back), np.asarray(xi), atol=1e-10)
+
+    def test_matrix_exp_equivalence(self):
+        from scipy.linalg import expm
+
+        xi = np.asarray(RNG.normal(size=6))
+        top = np.zeros((4, 4))
+        top[:3, :3] = np.asarray(so3.hat(jnp.asarray(xi[3:])))
+        top[:3, 3] = xi[:3]
+        M_ref = expm(top)
+        M = se3.to_matrix(se3.exp(jnp.asarray(xi)))
+        np.testing.assert_allclose(np.asarray(M), M_ref, atol=1e-12)
+
+    def test_inverse_compose(self):
+        T = se3.random(jax.random.PRNGKey(0), jnp.float64)
+        I = se3.mul(T, se3.inv(T))
+        np.testing.assert_allclose(np.asarray(I.R), np.eye(3), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(I.t), np.zeros(3), atol=1e-13)
+
+    def test_act_matches_matrix(self):
+        T = se3.random(jax.random.PRNGKey(1), jnp.float64)
+        p = jnp.asarray(RNG.normal(size=(5, 3)))
+        ph = np.concatenate([np.asarray(p), np.ones((5, 1))], axis=1)
+        ref = (np.asarray(se3.to_matrix(T)) @ ph.T).T[:, :3]
+        np.testing.assert_allclose(np.asarray(se3.act(T, p)), ref, atol=1e-13)
+
+    def test_adjoint_identity(self):
+        xi = jnp.asarray(RNG.normal(size=6))
+        T = se3.random(jax.random.PRNGKey(2), jnp.float64)
+        lhs = se3.exp(se3.adj(T) @ xi)
+        rhs = se3.mul(se3.mul(T, se3.exp(xi)), se3.inv(T))
+        np.testing.assert_allclose(np.asarray(lhs.R), np.asarray(rhs.R), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(lhs.t), np.asarray(rhs.t), atol=1e-10)
+
+    def test_retract_local_inverse(self):
+        T = se3.random(jax.random.PRNGKey(4), jnp.float64)
+        xi = jnp.asarray(RNG.normal(size=6) * 0.5)
+        np.testing.assert_allclose(
+            np.asarray(se3.local(T, se3.retract(T, xi))), np.asarray(xi), atol=1e-10
+        )
+
+
+class TestPlanar:
+    def test_so2(self):
+        th = jnp.asarray(2.5)
+        np.testing.assert_allclose(float(so2.wrap(th + 2 * np.pi)), float(so2.wrap(th)), atol=1e-12)
+        R = so2.matrix(th)
+        np.testing.assert_allclose(np.asarray(R @ R.T), np.eye(2), atol=1e-12)
+
+    def test_se2_exp_log(self):
+        xi = jnp.asarray(RNG.normal(size=(32, 3)))
+        xi_back = jax.vmap(lambda x: se2.log(se2.exp(x)))(xi)
+        np.testing.assert_allclose(np.asarray(xi_back), np.asarray(xi), atol=1e-10)
+
+    def test_se2_compose_matrix(self):
+        a = se2.exp(jnp.asarray(RNG.normal(size=3)))
+        b = se2.exp(jnp.asarray(RNG.normal(size=3)))
+        np.testing.assert_allclose(
+            np.asarray(se2.matrix(se2.mul(a, b))),
+            np.asarray(se2.matrix(a) @ se2.matrix(b)),
+            atol=1e-12,
+        )
+
+    def test_se2_small_angle(self):
+        xi = jnp.asarray([0.3, -0.2, 1e-14])
+        T = se2.exp(xi)
+        np.testing.assert_allclose(np.asarray(se2.log(T)), np.asarray(xi), atol=1e-10)
