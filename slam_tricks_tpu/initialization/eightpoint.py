@@ -1,0 +1,117 @@
+"""Normalized 8-point fundamental/essential matrix estimation + pose recovery.
+
+Reference: st2-epipolar/src/include/epipolar.hpp (Hartley normalization :64-116,
+8-point SVD solve :139-209, E = K^T F K :223-228), recovery.hpp:25-129 (4-way
+decomposition + cheirality), st22-two-view/src/src/two_view_geometry.cpp:18-101.
+
+All solvers are pure SVD pipelines — batched/vmappable, no data-dependent
+shapes. Degenerate configurations surface as large residuals rather than
+exceptions (masked-fallback design, SURVEY §7 "SVD differentiability").
+"""
+
+import jax
+import jax.numpy as jnp
+
+from slam_tricks_tpu.manifolds import so3
+
+
+def hartley_normalize(pts):
+    """Similarity transform moving points to centroid 0 / RMS distance sqrt(2)
+    (epipolar.hpp:64-116). pts (N,2) -> (pts_norm (N,2), T (3,3))."""
+    mean = jnp.mean(pts, axis=0)
+    centered = pts - mean
+    scale = jnp.sqrt(2.0) / jnp.maximum(
+        jnp.mean(jnp.linalg.norm(centered, axis=1)), 1e-12)
+    T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=pts.dtype)
+    T = T.at[0, 0].set(scale).at[1, 1].set(scale)
+    T = T.at[0, 2].set(-scale * mean[0]).at[1, 2].set(-scale * mean[1])
+    return centered * scale, T
+
+
+def fundamental_8pt(p1, p2, weights=None):
+    """F from >=8 correspondences (pixels or normalized coords), Hartley
+    normalized, rank-2 projected. p1/p2 (N,2). Returns F (3,3), ||F||=1."""
+    n1, T1 = hartley_normalize(p1)
+    n2, T2 = hartley_normalize(p2)
+    x1, y1 = n1[:, 0], n1[:, 1]
+    x2, y2 = n2[:, 0], n2[:, 1]
+    ones = jnp.ones_like(x1)
+    A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=1)
+    if weights is not None:
+        A = A * weights[:, None]
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    F = Vt[-1].reshape(3, 3)
+    # rank-2 projection
+    U, S, Vt2 = jnp.linalg.svd(F)
+    F = (U * jnp.stack([S[0], S[1], jnp.zeros_like(S[2])])[None, :]) @ Vt2
+    F = T2.T @ F @ T1
+    return F / jnp.linalg.norm(F)
+
+
+def essential_from_fundamental(F, K1, K2=None):
+    """E = K2^T F K1 (epipolar.hpp:223-228)."""
+    K2 = K1 if K2 is None else K2
+    E = K2.T @ F @ K1
+    return E / jnp.linalg.norm(E)
+
+
+def essential_8pt(p1_norm, p2_norm, weights=None):
+    """E directly from normalized-plane correspondences, with the (1,1,0)
+    singular-value projection."""
+    F = fundamental_8pt(p1_norm, p2_norm, weights)
+    U, S, Vt = jnp.linalg.svd(F)
+    one = jnp.ones_like(S[0])
+    E = (U * jnp.stack([one, one, jnp.zeros_like(S[2])])[None, :]) @ Vt
+    return E / jnp.linalg.norm(E)
+
+
+def decompose_essential(E):
+    """E -> 4 candidate (R, t): (R1,t), (R1,-t), (R2,t), (R2,-t)
+    (recovery.hpp:25-129, two_view_geometry.cpp:42-101). Determinant-corrected."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # ensure proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return Rs, ts
+
+
+def triangulate_midpoint(R, t, p1, p2):
+    """Two-view linear triangulation for cam1 = [I|0], cam2 = [R|t], normalized
+    coords. Closed form via the two hat-constraints (st2 triangulation.hpp:21-76,
+    st22 Triangulate two_view_geometry.cpp:103-126). Returns (X (3,), depth1, depth2)."""
+    x1 = jnp.concatenate([p1, jnp.ones((1,), p1.dtype)])
+    x2 = jnp.concatenate([p2, jnp.ones((1,), p2.dtype)])
+    # DLT rows: hat(x1) [I|0] X = 0 ; hat(x2) [R|t] X = 0  (4 independent rows)
+    P1 = jnp.concatenate([jnp.eye(3, dtype=p1.dtype), jnp.zeros((3, 1), p1.dtype)], axis=1)
+    P2 = jnp.concatenate([R, t[:, None]], axis=1)
+    A = jnp.concatenate([so3.hat(x1) @ P1, so3.hat(x2) @ P2], axis=0)  # (6,4)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    Xh = Vt[-1]
+    X = Xh[:3] / Xh[3]
+    d1 = X[2]
+    d2 = (R @ X + t)[2]
+    return X, d1, d2
+
+
+def recover_pose(E, p1, p2, weights=None):
+    """Cheirality disambiguation: pick the (R,t) with the most points in front
+    of both cameras (recovery.hpp:95-129; all-pairs vote two_view_geometry.cpp:61-101).
+
+    Returns (R, t, n_good, X (N,3) triangulated under the winner)."""
+    Rs, ts = decompose_essential(E)
+    w = jnp.ones(p1.shape[0], p1.dtype) if weights is None else weights
+
+    def score(R, t):
+        X, d1, d2 = jax.vmap(lambda a, b: triangulate_midpoint(R, t, a, b))(p1, p2)
+        good = (d1 > 0) & (d2 > 0)
+        return jnp.sum(good * w), X
+
+    scores, Xs = jax.vmap(score)(Rs, ts)
+    best = jnp.argmax(scores)
+    return Rs[best], ts[best], scores[best], Xs[best]

@@ -1,0 +1,5 @@
+"""Solver layer: vmapped dense GN/LM + block-sparse Schur BA solver."""
+
+from slam_tricks_tpu.solvers.common import SolveResult  # noqa: F401
+from slam_tricks_tpu.solvers.gn import gauss_newton, gauss_newton_batched  # noqa: F401
+from slam_tricks_tpu.solvers.lm import levenberg_marquardt  # noqa: F401

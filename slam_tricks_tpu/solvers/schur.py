@@ -1,0 +1,224 @@
+"""Block-sparse Schur-complement bundle adjustment (SURVEY §7 step 5 — the
+centerpiece).
+
+Replaces Ceres SPARSE_SCHUR / g2o BlockSolver<6,3>+CSparse with marginalized
+landmarks (reference: st20-g2o/src/include/test_ceres.h:143-145,
+test_g2o.h:94-135). TPU-native design:
+
+- residuals + analytic Jacobians evaluated per observation via vmap
+  (the block sparsity pattern st20 renders at sim_data.h:108-159 is never
+  materialized as a big matrix — only its blocks)
+- `segment_sum` gathers J^T J into per-camera (6,6), per-landmark (3,3) blocks
+- landmark elimination = batched 3x3 Cholesky solves (closed form)
+- reduced camera system S assembled densely over (C*6, C*6) via einsum on a
+  scattered (C, L) block tensor — MXU work; small C makes this exact and fast.
+  (C ~ hundreds is fine; the PCG/matrix-free path for large C is
+  solvers/pcg.py.)
+- LM trust-region control runs on device in a while_loop (no host syncs)
+
+Gauge freedom: fixed cameras (SetParameterBlockConstant analog,
+test_ceres.h:127-130) are handled by identity-row/col masking of S.
+
+Tangent convention per camera: so3_r3 [omega, dt] (g2o VertexCamera oplus,
+test_g2o.h:36-39), poses stored as T_cw.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_tricks_tpu.manifolds import se3, so3
+from slam_tricks_tpu.residuals.reprojection import reproject_normalized_jacobians
+
+
+class BAState(NamedTuple):
+    poses: se3.SE3          # stacked (C,)
+    points: jnp.ndarray     # (L,3)
+    cost: jnp.ndarray
+    lam: jnp.ndarray
+    nu: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _linearize_obs(poses, points, cam_idx, lm_idx, uv, weight):
+    """Per-observation residual + Jacobians, weighted. Returns
+    (r (N,2), Jp (N,2,6), Jl (N,2,3))."""
+    T = jax.tree_util.tree_map(lambda a: a[cam_idx], poses)
+    p = points[lm_idx]
+
+    def one(Ti, pi, uvi):
+        pred, Jp, Jl = reproject_normalized_jacobians(Ti, pi)
+        return pred - uvi, Jp, Jl
+
+    r, Jp, Jl = jax.vmap(one)(T, p, uv)
+    sw = jnp.sqrt(weight)[:, None]
+    return r * sw, Jp * sw[..., None], Jl * sw[..., None]
+
+
+def _cost(poses, points, cam_idx, lm_idx, uv, weight):
+    T = jax.tree_util.tree_map(lambda a: a[cam_idx], poses)
+    p = points[lm_idx]
+
+    def one(Ti, pi, uvi):
+        pc = Ti.R @ pi + Ti.t
+        return pc[:2] / pc[2] - uvi
+
+    r = jax.vmap(one)(T, p, uv)
+    return 0.5 * jnp.sum(weight[:, None] * r * r)
+
+
+def _assemble(r, Jp, Jl, cam_idx, lm_idx, n_cams, n_points):
+    """Normal-equation blocks via segment_sum — the H += J^T J hot loop of the
+    reference (st17 solver.hpp:405-436) turned into three fused scatters."""
+    seg = jax.ops.segment_sum
+    Hpp = seg(jnp.einsum("nri,nrj->nij", Jp, Jp), cam_idx, n_cams)   # (C,6,6)
+    Hll = seg(jnp.einsum("nri,nrj->nij", Jl, Jl), lm_idx, n_points)  # (L,3,3)
+    gp = seg(jnp.einsum("nri,nr->ni", Jp, r), cam_idx, n_cams)       # (C,6)
+    gl = seg(jnp.einsum("nri,nr->ni", Jl, r), lm_idx, n_points)      # (L,3)
+    W_obs = jnp.einsum("nri,nrj->nij", Jp, Jl)                       # (N,6,3)
+    return Hpp, Hll, gp, gl, W_obs
+
+
+def _inv3x3(A):
+    """Batched closed-form inverse of (..., 3, 3) SPD blocks via adjugate."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / det
+    rows = jnp.stack([
+        jnp.stack([A11, A12, A13], axis=-1),
+        jnp.stack([A21, A22, A23], axis=-1),
+        jnp.stack([A31, A32, A33], axis=-1),
+    ], axis=-2)
+    return rows * inv_det[..., None, None]
+
+
+def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_points,
+                  fixed_mask):
+    """Form and solve the reduced camera system; back-substitute landmarks.
+
+    Returns (delta_pose (C,6), delta_point (L,3))."""
+    dtype = gp.dtype
+    C, L = n_cams, n_points
+
+    # Marquardt-damped diagonal blocks
+    def damp(H):
+        d = jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12)
+        return H + lam * jax.vmap(jnp.diag)(d)
+
+    Hpp_d = damp(Hpp)
+    Hll_d = damp(Hll)
+
+    # batched closed-form 3x3 inverse (adjugate/det) — branch-free VPU math,
+    # the exact op a fused Pallas elimination kernel performs per landmark
+    Hll_inv = _inv3x3(Hll_d)
+
+    # dense (C,L) block tensor of W — scatter-add of per-obs 6x3 blocks
+    W = jnp.zeros((C, L, 6, 3), dtype=dtype).at[cam_idx, lm_idx].add(W_obs)
+
+    WHinv = jnp.einsum("clij,ljk->clik", W, Hll_inv)                  # (C,L,6,3)
+    S_off = jnp.einsum("clik,elmk->ciem", WHinv, W)                   # (C,6,C,6)
+    S = -S_off
+    diag = jnp.arange(C)
+    S = S.at[diag, :, diag, :].add(Hpp_d)
+    b = -(gp - jnp.einsum("clik,lk->ci", WHinv, gl))                  # (C,6)
+
+    # gauge: identity rows/cols for fixed cameras
+    free = (~fixed_mask).astype(dtype)                                # (C,)
+    S = S * free[:, None, None, None] * free[None, None, :, None]
+    S = S.at[diag, :, diag, :].add(
+        jnp.eye(6, dtype=dtype)[None] * fixed_mask.astype(dtype)[:, None, None])
+    b = b * free[:, None]
+
+    S_mat = S.reshape(C * 6, C * 6)
+    cf = jax.scipy.linalg.cho_factor(S_mat, lower=True)
+    dp = jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
+
+    # back-substitution: dl = Hll^-1 (-gl - W^T dp)
+    rhs_l = -gl - jnp.einsum("clik,ci->lk", W, dp)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, rhs_l)
+    return dp, dl
+
+
+def _retract_state(poses, points, dp, dl):
+    new_poses = jax.vmap(lambda T, d: se3.SE3(so3.retract(T.R, d[:3]), T.t + d[3:]))(poses, dp)
+    return new_poses, points + dl
+
+
+def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
+             lambda_init=1e-4, xtol=1e-12, gtol=0.0, inner_cost_fn=None):
+    """LM bundle adjustment. `obs` is a BAObservations-like namedtuple with
+    cam_idx, lm_idx, uv, weight. Returns (BAState, info dict of final scalars).
+    Fully jittable; all control flow on device."""
+    n_cams = poses0.t.shape[0]
+    n_points = points0.shape[0]
+    dtype = points0.dtype
+    cam_idx, lm_idx, uv, weight = obs.cam_idx, obs.lm_idx, obs.uv, obs.weight
+    if fixed_mask is None:
+        fixed_mask = jnp.zeros(n_cams, bool).at[0].set(True)
+
+    cost0 = _cost(poses0, points0, cam_idx, lm_idx, uv, weight)
+    state = BAState(poses=poses0, points=points0, cost=cost0,
+                    lam=jnp.asarray(lambda_init, dtype), nu=jnp.asarray(2.0, dtype),
+                    it=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool))
+
+    def cond(s):
+        return (~s.done) & (s.it < max_iters)
+
+    def body(s):
+        r, Jp, Jl = _linearize_obs(s.poses, s.points, cam_idx, lm_idx, uv, weight)
+        Hpp, Hll, gp, gl, W_obs = _assemble(r, Jp, Jl, cam_idx, lm_idx, n_cams, n_points)
+        gnorm = jnp.maximum(jnp.max(jnp.abs(gp)), jnp.max(jnp.abs(gl)))
+        dp, dl = _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, s.lam,
+                               n_cams, n_points, fixed_mask)
+        bad = jnp.any(~jnp.isfinite(dp)) | jnp.any(~jnp.isfinite(dl))
+        dp_s = jnp.where(bad, jnp.zeros_like(dp), dp)
+        dl_s = jnp.where(bad, jnp.zeros_like(dl), dl)
+        poses_try, points_try = _retract_state(s.poses, s.points, dp_s, dl_s)
+        cost_try = _cost(poses_try, points_try, cam_idx, lm_idx, uv, weight)
+
+        # gain ratio with Marquardt-damped model decrease
+        dvec = jnp.concatenate([dp_s.reshape(-1), dl_s.reshape(-1)])
+        gvec = jnp.concatenate([gp.reshape(-1), gl.reshape(-1)])
+        diagH = jnp.concatenate([
+            jax.vmap(jnp.diagonal)(Hpp).reshape(-1),
+            jax.vmap(jnp.diagonal)(Hll).reshape(-1)])
+        pred = 0.5 * jnp.dot(dvec, s.lam * jnp.maximum(diagH, 1e-12) * dvec - gvec)
+        rho = (s.cost - cost_try) / jnp.maximum(pred, 1e-30)
+
+        accept = (cost_try < s.cost) & jnp.isfinite(cost_try) & (~bad)
+        lam_new = jnp.where(
+            accept,
+            s.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            s.lam * s.nu)
+        lam_new = jnp.clip(lam_new, 1e-12, 1e10)
+        nu_new = jnp.where(accept, 2.0, s.nu * 2.0)
+
+        sel = lambda a, b: jnp.where(accept, a, b)
+        poses_new = jax.tree_util.tree_map(sel, poses_try, s.poses)
+        points_new = sel(points_try, s.points)
+        cost_new = sel(cost_try, s.cost)
+
+        small_step = accept & (jnp.sum(dvec * dvec) < xtol * xtol)
+        done = small_step | bad | ((gtol > 0) & (gnorm < gtol))
+        return BAState(poses=poses_new, points=points_new, cost=cost_new,
+                       lam=lam_new, nu=nu_new, it=s.it + 1, done=done)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final
+
+
+solve_ba_jit = jax.jit(partial(solve_ba), static_argnames=("max_iters",))
