@@ -82,7 +82,57 @@ def numpy_ba_iteration(poses_R, poses_t, points, cam_idx, lm_idx, uv, weight, la
     return dp, dl
 
 
+def bench_undistort(n=1_000_000):
+    """st1 path: batched analytic-Newton undistortion, pixels/s."""
+    from slam_tricks_tpu.residuals import camera
+
+    rng = np.random.default_rng(3)
+    intr = camera.Intrinsics(*[jnp.float32(v) for v in (458.654, 457.296, 367.215, 248.375)])
+    dist = camera.DistCoeffs(*[jnp.float32(v) for v in
+                               (-0.28340811, 0.07395907, 0.0, 0.00019359, 1.76187114e-05)])
+    px = jnp.asarray(rng.uniform([50, 50], [700, 430], (n, 2)).astype(np.float32))
+    dist_px = jax.jit(lambda p: camera.distort_pixels(intr, dist, p))(px)
+    f = jax.jit(lambda p: camera.undistort_points_fast(intr, dist, p))
+    out = f(dist_px); jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = f(dist_px); jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    err = float(jnp.max(jnp.abs(out - px)))
+    return n / dt, err
+
+
+def bench_batched_pnp(batch=1024, n_obs=32, iters=10):
+    """st17 path: vmapped Gauss-Newton over independent PnP problems."""
+    from slam_tricks_tpu.manifolds import lie, se3
+    from slam_tricks_tpu.residuals import reprojection
+    from slam_tricks_tpu.solvers import gauss_newton
+
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.uniform([-2, -2, 4], [2, 2, 8], (batch, n_obs, 3)).astype(np.float32))
+    xi_true = jnp.asarray((rng.normal(size=(batch, 6)) * 0.2).astype(np.float32))
+    T_true = jax.vmap(se3.exp)(xi_true)
+    p_cam = jax.vmap(se3.act)(T_true, pts)
+    uv = p_cam[..., :2] / p_cam[..., 2:]
+    xi0 = jnp.asarray((rng.normal(size=(batch, 6)) * 0.05).astype(np.float32))
+    T0 = jax.vmap(lambda T, d: se3.retract(T, d))(T_true, xi0)
+
+    def pnp_res(T, p, o):
+        return jax.vmap(lambda a, b: reprojection.reproject_normalized(T, a, b))(p, o)
+
+    solve = jax.jit(jax.vmap(
+        lambda T, p, o: gauss_newton(pnp_res, T, lie(se3), args=(p, o), iters=iters)))
+    out = solve(T0, pts, uv); jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = solve(T0, pts, uv); jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    max_cost = float(jnp.max(out.cost))
+    return batch * iters / dt, batch / dt, max_cost
+
+
 def main():
+    # NLLS normal equations need true-f32 contractions on the MXU (see
+    # solvers/common.py) — also covers XLA's internal cholesky blocks.
+    jax.config.update("jax_default_matmul_precision", "highest")
     from slam_tricks_tpu.sim import make_scene, perturb_scene
     from slam_tricks_tpu.solvers import schur
 
@@ -120,6 +170,9 @@ def main():
     t1 = time.perf_counter()
     baseline_iters_per_s = 1.0 / (t1 - t0)
 
+    undist_px_per_s, undist_err = bench_undistort()
+    pnp_iters_per_s, pnp_solves_per_s, pnp_max_cost = bench_batched_pnp()
+
     print(json.dumps({
         "metric": "ba_lm_iters_per_s",
         "value": round(iters_per_s, 2),
@@ -129,6 +182,11 @@ def main():
             "n_cams": scene.n_cams, "n_points": scene.n_points, "n_obs": n_obs,
             "final_cost": float(out.cost), "lm_iters": iters,
             "numpy_singlecore_iters_per_s": round(baseline_iters_per_s, 2),
+            "undistort_px_per_s": round(undist_px_per_s),
+            "undistort_max_err_px": undist_err,
+            "pnp_batched_gn_iters_per_s": round(pnp_iters_per_s),
+            "pnp_solves_per_s": round(pnp_solves_per_s),
+            "pnp_batch_max_cost": pnp_max_cost,
             "backend": jax.default_backend(),
         },
     }))

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from slam_tricks_tpu.solvers import schur
+from slam_tricks_tpu.solvers.common import HIGHEST
 from slam_tricks_tpu.solvers.schur import BAState
 
 
@@ -148,11 +149,11 @@ def _schur_from_dense_w(Hpp, Hll, gp, gl, W, lam, fixed_mask):
     Hpp_d = damp(Hpp)
     Hll_d = damp(Hll)
     Hll_inv = schur._inv3x3(Hll_d)
-    WHinv = jnp.einsum("clij,ljk->clik", W, Hll_inv)
-    S = -jnp.einsum("clik,elmk->ciem", WHinv, W)
+    WHinv = jnp.einsum("clij,ljk->clik", W, Hll_inv, precision=HIGHEST)
+    S = -jnp.einsum("clik,elmk->ciem", WHinv, W, precision=HIGHEST)
     diag = jnp.arange(C)
     S = S.at[diag, :, diag, :].add(Hpp_d)
-    b = -(gp - jnp.einsum("clik,lk->ci", WHinv, gl))
+    b = -(gp - jnp.einsum("clik,lk->ci", WHinv, gl, precision=HIGHEST))
 
     free = (~fixed_mask).astype(dtype)
     S = S * free[:, None, None, None] * free[None, None, :, None]
@@ -163,6 +164,6 @@ def _schur_from_dense_w(Hpp, Hll, gp, gl, W, lam, fixed_mask):
     dp = jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(S.reshape(C * 6, C * 6), lower=True),
         b.reshape(C * 6)).reshape(C, 6)
-    rhs_l = -gl - jnp.einsum("clik,ci->lk", W, dp)
-    dl = jnp.einsum("lij,lj->li", Hll_inv, rhs_l)
+    rhs_l = -gl - jnp.einsum("clik,ci->lk", W, dp, precision=HIGHEST)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, rhs_l, precision=HIGHEST)
     return dp, dl

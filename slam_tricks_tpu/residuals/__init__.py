@@ -7,6 +7,7 @@ from slam_tricks_tpu.residuals.camera import (  # noqa: F401
     distort_normalized,
     distort_pixel,
     undistort_point_gn,
+    undistort_points_fast,
     undistort_points_gn,
 )
 from slam_tricks_tpu.residuals.reprojection import (  # noqa: F401

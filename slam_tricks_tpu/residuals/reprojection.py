@@ -16,6 +16,7 @@ same dual-path validation the reference uses (autodiff vs SizedCostFunction,
 st17 solver.hpp:127-213).
 """
 
+import jax
 import jax.numpy as jnp
 
 from slam_tricks_tpu.manifolds import se3, so3
@@ -64,10 +65,12 @@ def reproject_normalized_jacobians(T_cw, p_world):
     validated against jacfwd in tests/test_residuals.py).
     """
     R, t = T_cw.R, T_cw.t
-    p_cam = R @ p_world + t
+    hp = jax.lax.Precision.HIGHEST  # MXU default precision stalls GN convergence
+    mm = lambda a, b: jnp.matmul(a, b, precision=hp)
+    p_cam = mm(R, p_world) + t
     head = _dproj_dpcam(p_cam)  # (2,3)
-    J_omega = head @ (-R @ so3.hat(p_world))
+    J_omega = mm(head, -mm(R, so3.hat(p_world)))
     J_dt = head
-    J_point = head @ R
+    J_point = mm(head, R)
     pred = p_cam[:2] / p_cam[2]
     return pred, jnp.concatenate([J_omega, J_dt], axis=1), J_point

@@ -13,6 +13,23 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# TPU MXU matmuls default to reduced-precision passes; Gauss-Newton normal
+# equations amplify that error quadratically (cond(J)^2) and stall convergence
+# ~1e-2 short of the optimum. Every solver contraction therefore pins HIGHEST
+# precision — measured on-chip: f32 PnP cost 2e-6 -> 9e-15 and 40 -> 24 LM
+# iterations. Tiny matrices, so the cost is negligible.
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def ata(J):
+    """J^T J at full f32 precision."""
+    return jnp.einsum("ki,kj->ij", J, J, precision=HIGHEST)
+
+
+def atb(J, r):
+    """J^T r at full f32 precision."""
+    return jnp.einsum("ki,k->i", J, r, precision=HIGHEST)
+
 
 def _dtype_of(x):
     return jax.tree_util.tree_leaves(x)[0].dtype

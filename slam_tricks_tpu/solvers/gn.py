@@ -13,7 +13,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from slam_tricks_tpu.solvers.common import SolveResult, _dtype_of, linearize, solve_damped_normal
+from slam_tricks_tpu.solvers.common import SolveResult, _dtype_of, ata, atb, linearize, solve_damped_normal
 
 
 def gauss_newton(residual_fn, x0, manifold, args=(), *, iters=10, damping=0.0,
@@ -36,8 +36,8 @@ def gauss_newton(residual_fn, x0, manifold, args=(), *, iters=10, damping=0.0,
             w = jnp.ravel(weights).astype(dtype)
             r = r * jnp.sqrt(w)
             J = J * jnp.sqrt(w)[:, None]
-        H = J.T @ J
-        g = J.T @ r
+        H = ata(J)
+        g = atb(J, r)
         delta, bad = solve_damped_normal(H, g, lam)
         small = jnp.sum(delta * delta) < xtol * xtol
         x_new = manifold.retract(x, jnp.where(done | bad, jnp.zeros_like(delta), delta))

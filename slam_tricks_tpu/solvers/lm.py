@@ -15,7 +15,7 @@ Control strategy (Nielsen/Madsen damping, the same family Ceres uses):
 import jax
 import jax.numpy as jnp
 
-from slam_tricks_tpu.solvers.common import SolveResult, _dtype_of, linearize, solve_damped_normal
+from slam_tricks_tpu.solvers.common import SolveResult, _dtype_of, ata, atb, linearize, solve_damped_normal
 
 
 def levenberg_marquardt(residual_fn, x0, manifold, args=(), *, max_iters=50,
@@ -47,8 +47,8 @@ def levenberg_marquardt(residual_fn, x0, manifold, args=(), *, max_iters=50,
         return (~s["done"]) & (s["it"] < max_iters)
 
     def body(s):
-        H = s["J"].T @ s["J"]
-        g = s["J"].T @ s["r"]
+        H = ata(s["J"])
+        g = atb(s["J"], s["r"])
         gnorm = jnp.max(jnp.abs(g))
         delta, bad = solve_damped_normal(H, g, s["lam"], use_marquardt_scaling)
         x_try = manifold.retract(s["x"], delta)

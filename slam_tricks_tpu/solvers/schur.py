@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from slam_tricks_tpu.manifolds import se3, so3
+from slam_tricks_tpu.solvers.common import HIGHEST
 from slam_tricks_tpu.residuals.reprojection import reproject_normalized_jacobians
 
 
@@ -74,11 +75,11 @@ def _assemble(r, Jp, Jl, cam_idx, lm_idx, n_cams, n_points):
     """Normal-equation blocks via segment_sum — the H += J^T J hot loop of the
     reference (st17 solver.hpp:405-436) turned into three fused scatters."""
     seg = jax.ops.segment_sum
-    Hpp = seg(jnp.einsum("nri,nrj->nij", Jp, Jp), cam_idx, n_cams)   # (C,6,6)
-    Hll = seg(jnp.einsum("nri,nrj->nij", Jl, Jl), lm_idx, n_points)  # (L,3,3)
-    gp = seg(jnp.einsum("nri,nr->ni", Jp, r), cam_idx, n_cams)       # (C,6)
-    gl = seg(jnp.einsum("nri,nr->ni", Jl, r), lm_idx, n_points)      # (L,3)
-    W_obs = jnp.einsum("nri,nrj->nij", Jp, Jl)                       # (N,6,3)
+    Hpp = seg(jnp.einsum("nri,nrj->nij", Jp, Jp, precision=HIGHEST), cam_idx, n_cams)   # (C,6,6)
+    Hll = seg(jnp.einsum("nri,nrj->nij", Jl, Jl, precision=HIGHEST), lm_idx, n_points)  # (L,3,3)
+    gp = seg(jnp.einsum("nri,nr->ni", Jp, r, precision=HIGHEST), cam_idx, n_cams)       # (C,6)
+    gl = seg(jnp.einsum("nri,nr->ni", Jl, r, precision=HIGHEST), lm_idx, n_points)      # (L,3)
+    W_obs = jnp.einsum("nri,nrj->nij", Jp, Jl, precision=HIGHEST)                       # (N,6,3)
     return Hpp, Hll, gp, gl, W_obs
 
 
@@ -129,12 +130,12 @@ def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_point
     # dense (C,L) block tensor of W — scatter-add of per-obs 6x3 blocks
     W = jnp.zeros((C, L, 6, 3), dtype=dtype).at[cam_idx, lm_idx].add(W_obs)
 
-    WHinv = jnp.einsum("clij,ljk->clik", W, Hll_inv)                  # (C,L,6,3)
-    S_off = jnp.einsum("clik,elmk->ciem", WHinv, W)                   # (C,6,C,6)
+    WHinv = jnp.einsum("clij,ljk->clik", W, Hll_inv, precision=HIGHEST)                  # (C,L,6,3)
+    S_off = jnp.einsum("clik,elmk->ciem", WHinv, W, precision=HIGHEST)                   # (C,6,C,6)
     S = -S_off
     diag = jnp.arange(C)
     S = S.at[diag, :, diag, :].add(Hpp_d)
-    b = -(gp - jnp.einsum("clik,lk->ci", WHinv, gl))                  # (C,6)
+    b = -(gp - jnp.einsum("clik,lk->ci", WHinv, gl, precision=HIGHEST))                  # (C,6)
 
     # gauge: identity rows/cols for fixed cameras
     free = (~fixed_mask).astype(dtype)                                # (C,)
@@ -148,8 +149,8 @@ def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_point
     dp = jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
 
     # back-substitution: dl = Hll^-1 (-gl - W^T dp)
-    rhs_l = -gl - jnp.einsum("clik,ci->lk", W, dp)
-    dl = jnp.einsum("lij,lj->li", Hll_inv, rhs_l)
+    rhs_l = -gl - jnp.einsum("clik,ci->lk", W, dp, precision=HIGHEST)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, rhs_l, precision=HIGHEST)
     return dp, dl
 
 
