@@ -151,14 +151,14 @@ def _schur_from_dense_w(Hpp, Hll, gp, gl, W, lam, fixed_mask):
     Hll_inv = schur._inv3x3(Hll_d)
     WHinv = jnp.einsum("clij,ljk->clik", W, Hll_inv, precision=HIGHEST)
     S = -jnp.einsum("clik,elmk->ciem", WHinv, W, precision=HIGHEST)
-    diag = jnp.arange(C)
-    S = S.at[diag, :, diag, :].add(Hpp_d)
+    eye_c = jnp.eye(C, dtype=dtype)[:, None, :, None]
+    S = S + eye_c * Hpp_d[:, :, None, :]
     b = -(gp - jnp.einsum("clik,lk->ci", WHinv, gl, precision=HIGHEST))
 
     free = (~fixed_mask).astype(dtype)
     S = S * free[:, None, None, None] * free[None, None, :, None]
-    S = S.at[diag, :, diag, :].add(
-        jnp.eye(6, dtype=dtype)[None] * fixed_mask.astype(dtype)[:, None, None])
+    S = S + eye_c * (fixed_mask.astype(dtype)[:, None, None, None]
+                     * jnp.eye(6, dtype=dtype)[None, :, None, :])
     b = b * free[:, None]
 
     dp = jax.scipy.linalg.cho_solve(

@@ -133,15 +133,16 @@ def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_point
     WHinv = jnp.einsum("clij,ljk->clik", W, Hll_inv, precision=HIGHEST)                  # (C,L,6,3)
     S_off = jnp.einsum("clik,elmk->ciem", WHinv, W, precision=HIGHEST)                   # (C,6,C,6)
     S = -S_off
-    diag = jnp.arange(C)
-    S = S.at[diag, :, diag, :].add(Hpp_d)
+    # block-diagonal adds as broadcast eye-masks (no scatters — XLA fuses these)
+    eye_c = jnp.eye(C, dtype=dtype)[:, None, :, None]
+    S = S + eye_c * Hpp_d[:, :, None, :]
     b = -(gp - jnp.einsum("clik,lk->ci", WHinv, gl, precision=HIGHEST))                  # (C,6)
 
     # gauge: identity rows/cols for fixed cameras
     free = (~fixed_mask).astype(dtype)                                # (C,)
     S = S * free[:, None, None, None] * free[None, None, :, None]
-    S = S.at[diag, :, diag, :].add(
-        jnp.eye(6, dtype=dtype)[None] * fixed_mask.astype(dtype)[:, None, None])
+    S = S + eye_c * (fixed_mask.astype(dtype)[:, None, None, None]
+                     * jnp.eye(6, dtype=dtype)[None, :, None, :])
     b = b * free[:, None]
 
     S_mat = S.reshape(C * 6, C * 6)
