@@ -59,8 +59,14 @@ def solve_damped_normal(H, g, lam, use_marquardt_scaling=True):
     else:
         D = jnp.eye(H.shape[0], dtype=dtype)
     A = H + lam * D
-    L, low = jax.scipy.linalg.cho_factor(A, lower=True)
-    delta = jax.scipy.linalg.cho_solve((L, low), -g)
+    if H.shape[0] <= 16:
+        # unrolled Cholesky: broadcasts over vmapped batches as pure VPU ops
+        # (generic cho_factor is ~10x slower when vmapped over tiny systems)
+        from slam_tricks_tpu.ops.smallchol import cho_solve_small
+        delta = cho_solve_small(A, -g)
+    else:
+        L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+        delta = jax.scipy.linalg.cho_solve((L, low), -g)
     bad = jnp.any(~jnp.isfinite(delta))
     return jnp.where(bad, jnp.zeros_like(delta), delta), bad
 

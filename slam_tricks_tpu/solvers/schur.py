@@ -161,10 +161,15 @@ def _retract_state(poses, points, dp, dl):
 
 
 def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
-             lambda_init=1e-4, xtol=1e-12, gtol=0.0, inner_cost_fn=None):
+             lambda_init=1e-4, xtol=1e-12, gtol=0.0, linear_solver="dense",
+             cg_iters=100, cg_tol=1e-8):
     """LM bundle adjustment. `obs` is a BAObservations-like namedtuple with
-    cam_idx, lm_idx, uv, weight. Returns (BAState, info dict of final scalars).
-    Fully jittable; all control flow on device."""
+    cam_idx, lm_idx, uv, weight. Returns the final BAState.
+    Fully jittable; all control flow on device.
+
+    linear_solver: "dense" materializes the reduced camera system exactly
+    (small/medium C); "pcg" runs matrix-free block-Jacobi PCG with O(N) memory
+    (large problems — never forms the (C,L) block tensor)."""
     n_cams = poses0.t.shape[0]
     n_points = points0.shape[0]
     dtype = points0.dtype
@@ -184,8 +189,14 @@ def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
         r, Jp, Jl = _linearize_obs(s.poses, s.points, cam_idx, lm_idx, uv, weight)
         Hpp, Hll, gp, gl, W_obs = _assemble(r, Jp, Jl, cam_idx, lm_idx, n_cams, n_points)
         gnorm = jnp.maximum(jnp.max(jnp.abs(gp)), jnp.max(jnp.abs(gl)))
-        dp, dl = _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, s.lam,
-                               n_cams, n_points, fixed_mask)
+        if linear_solver == "pcg":
+            from slam_tricks_tpu.solvers.pcg import solve_rcs_pcg
+            dp, dl = solve_rcs_pcg(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx,
+                                   s.lam, fixed_mask, n_points,
+                                   cg_iters=cg_iters, cg_tol=cg_tol)
+        else:
+            dp, dl = _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx,
+                                   s.lam, n_cams, n_points, fixed_mask)
         bad = jnp.any(~jnp.isfinite(dp)) | jnp.any(~jnp.isfinite(dl))
         dp_s = jnp.where(bad, jnp.zeros_like(dp), dp)
         dl_s = jnp.where(bad, jnp.zeros_like(dl), dl)
@@ -223,4 +234,6 @@ def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
     return final
 
 
-solve_ba_jit = jax.jit(partial(solve_ba), static_argnames=("max_iters",))
+solve_ba_jit = jax.jit(
+    partial(solve_ba),
+    static_argnames=("max_iters", "linear_solver", "cg_iters"))
