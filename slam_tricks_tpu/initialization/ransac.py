@@ -24,21 +24,28 @@ class RansacResult(NamedTuple):
 
 def ransac(key, data, *, min_fit: Callable, residual_sq: Callable,
            refit: Callable, subset_size: int, n_hyps: int = 256,
-           inlier_thresh_sq: float = 1e-2):
+           inlier_thresh_sq: float = 1e-2, sample_weights=None):
     """Generic vmapped RANSAC.
 
     data: pytree whose leaves have leading axis N (the samples).
     min_fit(subset_data) -> params from a minimal subset (vmappable).
     residual_sq(params, data) -> (N,) squared residuals for all samples.
     refit(data, weights) -> params — weighted least-squares refit on inliers.
+    sample_weights: optional (N,) sampling probabilities (zero excludes a row
+    from minimal subsets — used when the candidate set carries invalid slots).
     """
     n = jax.tree_util.tree_leaves(data)[0].shape[0]
     # sampling w/o replacement per hypothesis (parabola.hpp:62-94): use
     # jax.random.choice per hypothesis via vmap over keys
     keys = jax.random.split(key, n_hyps)
+    if sample_weights is not None:
+        p_sample = sample_weights / jnp.maximum(jnp.sum(sample_weights), 1e-12)
+    else:
+        p_sample = None
 
     def one_hyp(k):
-        idx = jax.random.choice(k, n, shape=(subset_size,), replace=False)
+        idx = jax.random.choice(k, n, shape=(subset_size,), replace=False,
+                                p=p_sample)
         subset = jax.tree_util.tree_map(lambda a: a[idx], data)
         params = min_fit(subset)
         r2 = residual_sq(params, data)
