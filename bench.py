@@ -82,7 +82,7 @@ def numpy_ba_iteration(poses_R, poses_t, points, cam_idx, lm_idx, uv, weight, la
     return dp, dl
 
 
-def bench_undistort(n=1_000_000):
+def bench_undistort(n=8_388_608):
     """st1 path: batched analytic-Newton undistortion, pixels/s."""
     from slam_tricks_tpu.residuals import camera
 
@@ -101,7 +101,7 @@ def bench_undistort(n=1_000_000):
     return n / dt, err
 
 
-def bench_batched_pnp(batch=1024, n_obs=32, iters=10):
+def bench_batched_pnp(batch=8192, n_obs=32, iters=10):
     """st17 path: vmapped Gauss-Newton over independent PnP problems."""
     from slam_tricks_tpu.manifolds import lie, se3
     from slam_tricks_tpu.residuals import reprojection

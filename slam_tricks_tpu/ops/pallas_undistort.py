@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 8
+TILE_ROWS = 512  # large tiles amortize per-program DMA latency (measured on v5e)
 LANES = 128
 
 
@@ -58,7 +58,8 @@ def undistort_points_pallas(intr, dist, px_dist, iters=5, interpret=False):
     multiple of 8*128."""
     n = px_dist.shape[0]
     dtype = px_dist.dtype
-    chunk = TILE_ROWS * LANES
+    tile_rows = TILE_ROWS if n >= TILE_ROWS * LANES else 8
+    chunk = tile_rows * LANES
     pad = (-n) % chunk
     u = jnp.concatenate([px_dist[:, 0], jnp.full((pad,), intr.cx, dtype)])
     v = jnp.concatenate([px_dist[:, 1], jnp.full((pad,), intr.cy, dtype)])
@@ -68,19 +69,19 @@ def undistort_points_pallas(intr, dist, px_dist, iters=5, interpret=False):
     params = jnp.stack([intr.fx, intr.fy, intr.cx, intr.cy,
                         dist.k1, dist.k2, dist.k3, dist.p1, dist.p2]).astype(dtype)[None, :]
 
-    grid = (rows // TILE_ROWS,)
+    grid = (rows // tile_rows,)
     kernel = functools.partial(_undistort_kernel, iters=iters)
     out_u, out_v = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 9), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), dtype),

@@ -6,3 +6,15 @@ from slam_tricks_tpu.sim.ba_scene import (  # noqa: F401
     make_scene,
     perturb_scene,
 )
+from slam_tricks_tpu.sim.calib_scene import CalibScene, make_calib_scene  # noqa: F401
+from slam_tricks_tpu.sim.distortion import (  # noqa: F401
+    box_segments,
+    lidar_sweep,
+    rolling_shutter_points,
+)
+from slam_tricks_tpu.sim.trajectory import (  # noqa: F401
+    PoseGraphProblem,
+    make_pose_graph,
+    spiral_poses,
+)
+from slam_tricks_tpu.sim.two_view import TwoViewScene, make_two_view  # noqa: F401
