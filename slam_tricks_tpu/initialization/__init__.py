@@ -15,6 +15,9 @@ from slam_tricks_tpu.initialization.ransac import (  # noqa: F401
     ransac,
     ransac_iterative_refit,
 )
+from slam_tricks_tpu.initialization.robust_epipolar import (  # noqa: F401
+    robust_fundamental,
+)
 from slam_tricks_tpu.initialization.zhang import (  # noqa: F401
     calibrate_closed_form,
     extrinsics_from_homography,

@@ -3,3 +3,5 @@
 from slam_tricks_tpu.solvers.common import SolveResult  # noqa: F401
 from slam_tricks_tpu.solvers.gn import gauss_newton, gauss_newton_batched  # noqa: F401
 from slam_tricks_tpu.solvers.lm import levenberg_marquardt  # noqa: F401
+from slam_tricks_tpu.solvers.posegraph import solve_pose_graph  # noqa: F401
+from slam_tricks_tpu.solvers.schur import solve_ba, solve_ba_jit  # noqa: F401
