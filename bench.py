@@ -102,10 +102,11 @@ def bench_undistort(n=8_388_608):
 
 
 def bench_batched_pnp(batch=8192, n_obs=32, iters=10):
-    """st17 path: vmapped Gauss-Newton over independent PnP problems."""
-    from slam_tricks_tpu.manifolds import lie, se3
-    from slam_tricks_tpu.residuals import reprojection
-    from slam_tricks_tpu.solvers import gauss_newton
+    """st17 path: batched analytic-Jacobian PnP GN (solvers/pnp.py) — the
+    direct analog of the reference's hand-rolled SelfGaussNewton
+    (0.0192 ms / 7 iters single-problem, BASELINE.md)."""
+    from slam_tricks_tpu.manifolds import se3
+    from slam_tricks_tpu.solvers.pnp import solve_pnp_batched
 
     rng = np.random.default_rng(4)
     pts = jnp.asarray(rng.uniform([-2, -2, 4], [2, 2, 8], (batch, n_obs, 3)).astype(np.float32))
@@ -116,11 +117,7 @@ def bench_batched_pnp(batch=8192, n_obs=32, iters=10):
     xi0 = jnp.asarray((rng.normal(size=(batch, 6)) * 0.05).astype(np.float32))
     T0 = jax.vmap(lambda T, d: se3.retract(T, d))(T_true, xi0)
 
-    def pnp_res(T, p, o):
-        return jax.vmap(lambda a, b: reprojection.reproject_normalized(T, a, b))(p, o)
-
-    solve = jax.jit(jax.vmap(
-        lambda T, p, o: gauss_newton(pnp_res, T, lie(se3), args=(p, o), iters=iters)))
+    solve = jax.jit(solve_pnp_batched)
     out = solve(T0, pts, uv); jax.block_until_ready(out)
     t0 = time.perf_counter()
     out = solve(T0, pts, uv); jax.block_until_ready(out)

@@ -8,3 +8,9 @@ from slam_tricks_tpu.frontend.chessboard import (  # noqa: F401
     grow_chessboards,
     refine_corners_subpixel,
 )
+from slam_tricks_tpu.frontend.direct import direct_pose_estimate, select_pixels  # noqa: F401
+from slam_tricks_tpu.frontend.optical_flow import (  # noqa: F401
+    build_pyramid,
+    grid_seed_points,
+    lk_track,
+)
