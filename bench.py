@@ -134,12 +134,14 @@ def main():
     from slam_tricks_tpu.solvers import schur
 
     dtype = np.float32
-    scene = make_scene(n_per_wall=100, n_cams=30, seed=0, dtype=dtype)
+    # production-scale cube-room scene (same st20 semantics, denser):
+    # 96 cams x 2400 landmarks x ~83k observations
+    scene = make_scene(n_per_wall=400, n_cams=96, seed=0, dtype=dtype)
     poses0, points0, fixed = perturb_scene(scene, seed=1)
     obs = scene.obs
     n_obs = int(np.sum(np.asarray(obs.weight) > 0))
 
-    max_iters = 25
+    max_iters = 20
     solve = jax.jit(schur.solve_ba, static_argnames=("max_iters",))
     out = solve(poses0, points0, obs, fixed_mask=fixed, max_iters=max_iters)
     jax.block_until_ready(out)
