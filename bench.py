@@ -1,5 +1,5 @@
 """Headline benchmark: LM iterations/s of the Schur-complement BA solver on the
-st20-scale problem (6x100 landmarks, 30-camera spiral, visibility-culled obs).
+production-scale st20 cube-room problem (96 cams, 2400 landmarks, ~83k observations).
 
 Prints ONE JSON line:
   {"metric": "ba_lm_iters_per_s", "value": N, "unit": "iters/s", "vs_baseline": R}
@@ -28,7 +28,7 @@ def numpy_ba_iteration(poses_R, poses_t, points, cam_idx, lm_idx, uv, weight, la
     p = points[lm_idx]
     R = poses_R[cam_idx]
     t = poses_t[cam_idx]
-    pc = np.einsum("nij,nj->ni", R, p) + t
+    pc = np.einsum("nij,nj->ni", R, p, optimize=True) + t
     iz = 1.0 / pc[:, 2]
     r = pc[:, :2] * iz[:, None] - uv
     sw = np.sqrt(weight)[:, None]
@@ -43,18 +43,18 @@ def numpy_ba_iteration(poses_R, poses_t, points, cam_idx, lm_idx, uv, weight, la
     hatp[:, 0, 1] = -p[:, 2]; hatp[:, 0, 2] = p[:, 1]
     hatp[:, 1, 0] = p[:, 2]; hatp[:, 1, 2] = -p[:, 0]
     hatp[:, 2, 0] = -p[:, 1]; hatp[:, 2, 1] = p[:, 0]
-    J_omega = -np.einsum("nij,njk,nkl->nil", head, R, hatp)
+    J_omega = -np.einsum("nij,njk,nkl->nil", head, R, hatp, optimize=True)
     Jp = np.concatenate([J_omega, head], axis=2) * sw[:, :, None]
-    Jl = np.einsum("nij,njk->nik", head, R) * sw[:, :, None]
+    Jl = np.einsum("nij,njk->nik", head, R, optimize=True) * sw[:, :, None]
     # assembly
     Hpp = np.zeros((C, 6, 6)); Hll = np.zeros((L, 3, 3))
     gp = np.zeros((C, 6)); gl = np.zeros((L, 3))
     W = np.zeros((C, L, 6, 3))
-    JpTJp = np.einsum("nri,nrj->nij", Jp, Jp)
-    JlTJl = np.einsum("nri,nrj->nij", Jl, Jl)
-    JpTr = np.einsum("nri,nr->ni", Jp, r)
-    JlTr = np.einsum("nri,nr->ni", Jl, r)
-    Wn = np.einsum("nri,nrj->nij", Jp, Jl)
+    JpTJp = np.einsum("nri,nrj->nij", Jp, Jp, optimize=True)
+    JlTJl = np.einsum("nri,nrj->nij", Jl, Jl, optimize=True)
+    JpTr = np.einsum("nri,nr->ni", Jp, r, optimize=True)
+    JlTr = np.einsum("nri,nr->ni", Jl, r, optimize=True)
+    Wn = np.einsum("nri,nrj->nij", Jp, Jl, optimize=True)
     np.add.at(Hpp, cam_idx, JpTJp)
     np.add.at(Hll, lm_idx, JlTJl)
     np.add.at(gp, cam_idx, JpTr)
@@ -67,18 +67,18 @@ def numpy_ba_iteration(poses_R, poses_t, points, cam_idx, lm_idx, uv, weight, la
     Hll_inv = np.zeros_like(Hll)
     for l in range(L):
         Hll_inv[l] = np.linalg.inv(Hll[l] + lam * np.diag(np.maximum(np.diag(Hll[l]), 1e-12)))
-    WHinv = np.einsum("clij,ljk->clik", W, Hll_inv)
-    S = -np.einsum("clik,elmk->ciem", WHinv, W)
+    WHinv = np.einsum("clij,ljk->clik", W, Hll_inv, optimize=True)
+    S = -np.einsum("clik,elmk->ciem", WHinv, W, optimize=True)
     for c in range(C):
         S[c, :, c, :] += Hpp_d[c]
-    b = -(gp - np.einsum("clik,lk->ci", WHinv, gl))
+    b = -(gp - np.einsum("clik,lk->ci", WHinv, gl, optimize=True))
     free = ~fixed_mask
     S *= free[:, None, None, None] * free[None, None, :, None]
     for c in np.nonzero(fixed_mask)[0]:
         S[c, :, c, :] += np.eye(6)
     b *= free[:, None]
     dp = np.linalg.solve(S.reshape(C * 6, C * 6), b.reshape(-1)).reshape(C, 6)
-    dl = np.einsum("lij,lj->li", Hll_inv, -gl - np.einsum("clik,ci->lk", W, dp))
+    dl = np.einsum("lij,lj->li", Hll_inv, -gl - np.einsum("clik,ci->lk", W, dp, optimize=True))
     return dp, dl
 
 
@@ -130,6 +130,14 @@ def main():
     # NLLS normal equations need true-f32 contractions on the MXU (see
     # solvers/common.py) — also covers XLA's internal cholesky blocks.
     jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent compile cache: tunnel compile times vary 10s..10min+ for the
+    # same graph; a warm cache makes the bench wall time deterministic
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from slam_tricks_tpu.sim import make_scene, perturb_scene
     from slam_tricks_tpu.solvers import schur
 
