@@ -162,22 +162,47 @@ def _retract_state(poses, points, dp, dl):
 
 def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
              lambda_init=1e-4, xtol=1e-12, gtol=0.0, linear_solver="dense",
-             cg_iters=100, cg_tol=1e-8):
+             cg_iters=100, cg_tol=1e-8, loss=None):
     """LM bundle adjustment. `obs` is a BAObservations-like namedtuple with
     cam_idx, lm_idx, uv, weight. Returns the final BAState.
     Fully jittable; all control flow on device.
 
     linear_solver: "dense" materializes the reduced camera system exactly
     (small/medium C); "pcg" runs matrix-free block-Jacobi PCG with O(N) memory
-    (large problems — never forms the (C,L) block tensor)."""
+    (large problems — never forms the (C,L) block tensor).
+
+    loss: optional residuals.robust.Loss — robustified BA via IRLS: each
+    linearization multiplies observation weights by rho'(||r||^2) and the
+    trust-region cost uses rho(||r||^2) (the Ceres LossFunction role)."""
     n_cams = poses0.t.shape[0]
     n_points = points0.shape[0]
     dtype = points0.dtype
-    cam_idx, lm_idx, uv, weight = obs.cam_idx, obs.lm_idx, obs.uv, obs.weight
+    cam_idx, lm_idx, uv, base_weight = obs.cam_idx, obs.lm_idx, obs.uv, obs.weight
     if fixed_mask is None:
         fixed_mask = jnp.zeros(n_cams, bool).at[0].set(True)
 
-    cost0 = _cost(poses0, points0, cam_idx, lm_idx, uv, weight)
+    def _sqnorms(poses, points):
+        T = jax.tree_util.tree_map(lambda a: a[cam_idx], poses)
+        p = points[lm_idx]
+
+        def one(Ti, pi, uvi):
+            pc = Ti.R @ pi + Ti.t
+            return pc[:2] / pc[2] - uvi
+
+        r = jax.vmap(one)(T, p, uv)
+        return jnp.sum(r * r, axis=1)
+
+    if loss is None:
+        _cost_fn = lambda poses, points: _cost(poses, points, cam_idx, lm_idx,
+                                               uv, base_weight)
+    else:
+        def _cost_fn(poses, points):
+            return 0.5 * jnp.sum(base_weight * loss.rho(_sqnorms(poses, points)))
+
+        def _weights_at(poses, points):
+            return base_weight * loss.weight(_sqnorms(poses, points))
+
+    cost0 = _cost_fn(poses0, points0)
     state = BAState(poses=poses0, points=points0, cost=cost0,
                     lam=jnp.asarray(lambda_init, dtype), nu=jnp.asarray(2.0, dtype),
                     it=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool))
@@ -186,7 +211,8 @@ def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
         return (~s.done) & (s.it < max_iters)
 
     def body(s):
-        r, Jp, Jl = _linearize_obs(s.poses, s.points, cam_idx, lm_idx, uv, weight)
+        w_it = _weights_at(s.poses, s.points) if loss is not None else base_weight
+        r, Jp, Jl = _linearize_obs(s.poses, s.points, cam_idx, lm_idx, uv, w_it)
         Hpp, Hll, gp, gl, W_obs = _assemble(r, Jp, Jl, cam_idx, lm_idx, n_cams, n_points)
         gnorm = jnp.maximum(jnp.max(jnp.abs(gp)), jnp.max(jnp.abs(gl)))
         if linear_solver == "pcg":
@@ -201,7 +227,7 @@ def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
         dp_s = jnp.where(bad, jnp.zeros_like(dp), dp)
         dl_s = jnp.where(bad, jnp.zeros_like(dl), dl)
         poses_try, points_try = _retract_state(s.poses, s.points, dp_s, dl_s)
-        cost_try = _cost(poses_try, points_try, cam_idx, lm_idx, uv, weight)
+        cost_try = _cost_fn(poses_try, points_try)
 
         # gain ratio with Marquardt-damped model decrease
         dvec = jnp.concatenate([dp_s.reshape(-1), dl_s.reshape(-1)])
