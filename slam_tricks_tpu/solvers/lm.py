@@ -20,8 +20,13 @@ from slam_tricks_tpu.solvers.common import SolveResult, _dtype_of, ata, atb, lin
 
 def levenberg_marquardt(residual_fn, x0, manifold, args=(), *, max_iters=50,
                         lambda_init=1e-4, xtol=1e-12, gtol=1e-12, ftol=0.0,
-                        weights=None, use_marquardt_scaling=True):
-    """Returns SolveResult. vmappable over (x0, args) closures via jax.vmap."""
+                        weights=None, use_marquardt_scaling=True, callback=None):
+    """Returns SolveResult. vmappable over (x0, args) closures via jax.vmap.
+
+    callback(iteration, cost, lam): optional per-iteration host callback — the
+    Ceres IterationCallback role (reference: st17-ceres solver.hpp:215-245,
+    update_state_every_iteration) via jax.debug.callback; metrics stream out of
+    the on-device loop without breaking compilation."""
     dtype = _dtype_of(x0)
 
     def lin(x):
@@ -75,6 +80,9 @@ def levenberg_marquardt(residual_fn, x0, manifold, args=(), *, max_iters=50,
         x_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), x_try, s["x"])
         cost_new = jnp.where(accept, cost_try, s["cost"])
+
+        if callback is not None:
+            jax.debug.callback(callback, s["it"], cost_new, lam_new)
 
         small_step = accept & (jnp.sum(delta * delta) < xtol * xtol)
         small_grad = gnorm < gtol

@@ -162,7 +162,7 @@ def _retract_state(poses, points, dp, dl):
 
 def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
              lambda_init=1e-4, xtol=1e-12, gtol=0.0, linear_solver="dense",
-             cg_iters=100, cg_tol=1e-8, loss=None):
+             cg_iters=100, cg_tol=1e-8, loss=None, callback=None):
     """LM bundle adjustment. `obs` is a BAObservations-like namedtuple with
     cam_idx, lm_idx, uv, weight. Returns the final BAState.
     Fully jittable; all control flow on device.
@@ -250,6 +250,10 @@ def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
         poses_new = jax.tree_util.tree_map(sel, poses_try, s.poses)
         points_new = sel(points_try, s.points)
         cost_new = sel(cost_try, s.cost)
+
+        if callback is not None:
+            # IterationCallback role (st17 solver.hpp:215-245)
+            jax.debug.callback(callback, s.it, cost_new, lam_new)
 
         small_step = accept & (jnp.sum(dvec * dvec) < xtol * xtol)
         done = small_step | bad | ((gtol > 0) & (gnorm < gtol))
