@@ -1,0 +1,93 @@
+"""Parity tests on the reference repo's REAL image data (data only, not code):
+
+- st10 std.png: our chessboard detector vs cv2.findChessboardCorners
+- st1 distorted.png: our whole-image undistortion vs cv2.undistort (EuRoC
+  intrinsics from st1-undistort/src/main.cpp:124-125)
+- st13 KITTI frames: our pyramidal LK vs cv2.calcOpticalFlowPyrLK
+
+Skipped when the reference checkout is absent."""
+
+import os
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not mounted")
+
+
+def load_gray(path):
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    assert img is not None, path
+    return img.astype(np.float32) / 255.0
+
+
+class TestChessboardRealImage:
+    def test_detects_reference_board(self):
+        from slam_tricks_tpu.frontend import chessboard as cb
+
+        img = load_gray(f"{REF}/st10-chessCorner/img/std.png")
+        # cv2 ground truth (authoritative-library cross-validation)
+        found = None
+        for shape in [(8, 5), (5, 8), (9, 6), (6, 9), (7, 5), (11, 8)]:
+            ok, corners = cv2.findChessboardCorners(
+                (img * 255).astype(np.uint8), shape)
+            if ok:
+                found = corners.reshape(-1, 2)
+                break
+        assert found is not None, "cv2 found no board in std.png (test invalid)"
+
+        scores, xy = cb.detect_corners(jnp.asarray(img), k=256, radius=4,
+                                       nms_radius=6)
+        xy_ref = cb.refine_corners_subpixel(jnp.asarray(img), xy, window=8)
+        det = np.asarray(xy_ref)[np.isfinite(np.asarray(scores))]
+        # every cv2 corner matched by one of ours within 2 px
+        d = np.linalg.norm(det[None, :, :] - found[:, None, :], axis=2).min(axis=1)
+        assert (d < 2.0).mean() > 0.95, (d.max(), (d < 2.0).mean())
+
+
+class TestUndistortRealImage:
+    def test_matches_cv2_undistort(self):
+        from slam_tricks_tpu.ops.image import undistort_image
+        from slam_tricks_tpu.residuals.camera import DistCoeffs, Intrinsics
+
+        img = load_gray(f"{REF}/st1-undistort/img/distorted.png")
+        # EuRoC parameters (st1-undistort/src/main.cpp:124-125)
+        intr = Intrinsics(*map(jnp.float32, (458.654, 457.296, 367.215, 248.375)))
+        dist = DistCoeffs(*map(jnp.float32, (-0.28340811, 0.07395907, 0.0,
+                                             0.00019359, 1.76187114e-05)))
+        ours = np.asarray(undistort_image(jnp.asarray(img), intr, dist))
+        K = np.array(intr.K)
+        d = np.array(dist.to_opencv())
+        ref = cv2.undistort(img, K, d, None, K)
+        # compare away from borders (border handling differs)
+        h, w = img.shape
+        a = ours[20:h - 20, 20:w - 20]
+        b = ref[20:h - 20, 20:w - 20]
+        rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+        assert rmse < 0.02, rmse  # intensities in [0,1]
+
+
+class TestOpticalFlowKitti:
+    def test_matches_cv2_lk(self):
+        from slam_tricks_tpu.frontend.optical_flow import grid_seed_points, lk_track
+
+        i1 = load_gray(f"{REF}/st13-directmethod/img/000000.png")
+        i2 = load_gray(f"{REF}/st13-directmethod/img/000001.png")
+        pts = grid_seed_points(*i1.shape, grid=6, pts_per_cell=2, margin=30, seed=3)
+        ours2, valid = lk_track(jnp.asarray(i1), jnp.asarray(i2),
+                                jnp.asarray(pts), levels=4, win=10, iters=20)
+        cv_pts2, st, err = cv2.calcOpticalFlowPyrLK(
+            (i1 * 255).astype(np.uint8), (i2 * 255).astype(np.uint8),
+            pts.reshape(-1, 1, 2).astype(np.float32), None,
+            winSize=(21, 21), maxLevel=3)
+        cv_pts2 = cv_pts2.reshape(-1, 2)
+        both = np.asarray(valid) & (st.reshape(-1) == 1)
+        assert both.sum() > 20
+        diff = np.linalg.norm(np.asarray(ours2)[both] - cv_pts2[both], axis=1)
+        # majority of tracks agree with OpenCV within 1.5 px on real KITTI data
+        assert np.median(diff) < 1.5, np.median(diff)
