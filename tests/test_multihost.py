@@ -1,0 +1,85 @@
+"""True multi-process distributed test: 2 processes x 4 CPU devices each run
+the observation-sharded BA solver over a global 8-device mesh via
+jax.distributed — validating the multi-host code path (DCN analog) without a
+pod. The worker re-execs this file with role=worker."""
+
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+PORT = 52345
+
+
+def _worker(process_id):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
+                               num_processes=2, process_id=process_id)
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from slam_tricks_tpu.parallel import make_ba_solver, pad_obs_to_multiple
+    from slam_tricks_tpu.parallel.multihost import global_obs_mesh, make_global_array
+    from slam_tricks_tpu.sim import make_scene, perturb_scene
+
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8
+
+    scene = make_scene(n_per_wall=8, n_cams=5, seed=71)
+    poses0, points0, fixed = perturb_scene(scene, seed=72)
+    obs = pad_obs_to_multiple(scene.obs, 8)
+    mesh = global_obs_mesh()
+
+    # each process contributes its half of the observation arrays
+    n = obs.cam_idx.shape[0]
+    half = n // 2
+    sl = slice(process_id * half, (process_id + 1) * half)
+
+    def glob(a):
+        return make_global_array(np.asarray(a[sl]), mesh, P("obs"))
+
+    obs_global = type(obs)(cam_idx=glob(obs.cam_idx), lm_idx=glob(obs.lm_idx),
+                           uv=glob(obs.uv), weight=glob(obs.weight))
+
+    solver = make_ba_solver(mesh, max_iters=15)
+    out = solver(poses0, points0, obs_global, fixed)
+    cost = float(out.cost)
+    print(f"WORKER{process_id} FINAL_COST={cost:.6e}", flush=True)
+    assert cost < 1e-18, cost
+    jax.distributed.shutdown()
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="linux-only launcher")
+def test_two_process_distributed_ba():
+    procs = []
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    for pid in (0, 1):
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__, "worker", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    costs = [float(re.search(r"FINAL_COST=([\d.e+-]+)", o).group(1)) for o in outs]
+    assert costs[0] == costs[1]
+    assert costs[0] < 1e-18
+
+
+if __name__ == "__main__" and len(sys.argv) >= 3 and sys.argv[1] == "worker":
+    _worker(int(sys.argv[2]))
