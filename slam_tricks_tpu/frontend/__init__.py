@@ -7,6 +7,7 @@ from slam_tricks_tpu.frontend.chessboard import (  # noqa: F401
     estimate_orientations,
     grow_chessboards,
     refine_corners_subpixel,
+    verify_corners,
 )
 from slam_tricks_tpu.frontend.direct import direct_pose_estimate, select_pixels  # noqa: F401
 from slam_tricks_tpu.frontend.optical_flow import (  # noqa: F401

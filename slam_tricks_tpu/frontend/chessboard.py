@@ -161,6 +161,23 @@ def estimate_orientations(img, xy, window=10, n_bins=32):
     return jax.vmap(one)(xy)
 
 
+def verify_corners(img, xy, scores, window=10, min_mode_ratio=0.3,
+                   min_separation=jnp.pi / 4):
+    """Stage 3b: chessboard-corner verification — keep candidates whose
+    gradient histogram shows two strong, well-separated edge modes
+    (verifyCorners role, detector.cpp:267-380). Returns scores with rejected
+    candidates set to -inf (static shape).
+
+    Real-photo caveat: at small square sizes the 21x21 histogram window
+    under-resolves the modes; tune `window` to ~0.5 square sizes."""
+    angles, strength = estimate_orientations(img, xy, window=window)
+    sep = jnp.abs(jnp.mod(angles[:, 0] - angles[:, 1] + jnp.pi / 2, jnp.pi)
+                  - jnp.pi / 2)
+    ratio = strength[:, 1] / jnp.maximum(strength[:, 0], 1e-9)
+    ok = (ratio > min_mode_ratio) & (sep > min_separation)
+    return jnp.where(ok, scores, -jnp.inf)
+
+
 def grow_chessboards(xy, angles, scores, max_boards=4, dist_factor=1.6):
     """Stage 5 (host-side numpy): greedy growth of chessboard grids from corner
     candidates — the sequential seed/grow/energy logic of the reference

@@ -84,3 +84,20 @@ def test_ransac_iterative_refit():
         refit=lambda d, w: simple.parabola_fit_lsq(d["x"], d["y"], w),
         subset_size=3, n_hyps=128, inlier_thresh_sq=0.01, n_refine=5)
     np.testing.assert_allclose(np.asarray(res.params), [1, 2, 3], atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from slam_tricks_tpu.solvers.schur import BAState
+    from slam_tricks_tpu.manifolds import se3
+    from slam_tricks_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    state = BAState(
+        poses=se3.SE3(jnp.tile(jnp.eye(3), (4, 1, 1)), jnp.ones((4, 3))),
+        points=jnp.arange(15.0).reshape(5, 3),
+        cost=jnp.asarray(0.5), lam=jnp.asarray(1e-4), nu=jnp.asarray(2.0),
+        it=jnp.asarray(7, jnp.int32), done=jnp.asarray(False))
+    path = save_pytree(str(tmp_path / "state.npz"), state)
+    back = load_pytree(path, state)
+    assert int(back.it) == 7 and float(back.cost) == 0.5
+    np.testing.assert_array_equal(np.asarray(back.points), np.asarray(state.points))
+    np.testing.assert_array_equal(np.asarray(back.poses.t), np.asarray(state.poses.t))
