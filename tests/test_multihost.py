@@ -62,6 +62,8 @@ def test_two_process_distributed_ba():
     procs = []
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     for pid in (0, 1):
         procs.append(subprocess.Popen(
             [sys.executable, __file__, "worker", str(pid)],
