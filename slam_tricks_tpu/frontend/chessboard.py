@@ -178,90 +178,163 @@ def verify_corners(img, xy, scores, window=10, min_mode_ratio=0.3,
     return jnp.where(ok, scores, -jnp.inf)
 
 
-def grow_chessboards(xy, angles, scores, max_boards=4, dist_factor=1.6):
-    """Stage 5 (host-side numpy): greedy growth of chessboard grids from corner
-    candidates — the sequential seed/grow/energy logic of the reference
-    (initChessBoard/growChessBoard detector.cpp:602-815) simplified to
-    nearest-in-direction chaining. Returns list of (rows, cols) index grids.
+def board_energy(P):
+    """Chessboard structure energy of a grid of corner positions P (R,C,2):
 
+        E = num * (max_triple ||c_i + c_k - 2 c_j|| / ||c_i - c_k||  -  1)
+
+    over all consecutive triples along rows and columns — the reference's
+    chessBoardEnergy (detector.cpp:713-744, paper eq. for E_corners +
+    E_structure). More corners and straighter lines both lower E."""
+    R, C = P.shape[:2]
+    num = R * C
+    worst = 0.0
+    for A in (P, P.transpose(1, 0, 2)):          # rows, then columns
+        if A.shape[1] < 3:
+            continue
+        ci, cj, ck = A[:, :-2], A[:, 1:-1], A[:, 2:]
+        err = np.linalg.norm(ci + ck - 2 * cj, axis=2)
+        den = np.linalg.norm(ci - ck, axis=2) + 1e-12
+        worst = max(worst, float(np.max(err / den)))
+    return num * (worst - 1.0), worst
+
+
+def grow_chessboards(xy, angles, scores, max_boards=4, dist_factor=1.6,
+                     init_straightness=0.3):
+    """Stage 5 (host-side numpy): energy-gated growth of chessboard grids —
+    the reference's seed/grow/energy pipeline (initChessBoard
+    detector.cpp:602-673, growChessBoard :746-808 with the 0.85-extrapolation
+    corner prediction :810-815, chessBoardEnergy gate :713-744, and the
+    energy-sorted multi-board dedup of solveMutiCB :481-560).
+
+    Returns a list of (rows, cols) index grids into `xy`, best energy first.
     Sequential pointer-chasing is a deliberate host-side step (SURVEY §7 step
     10: poor TPU fit); the heavy stages 1-4 stay on device."""
     xy = np.asarray(xy)
     scores = np.asarray(scores)
-    valid = np.isfinite(scores)
-    idxs = np.nonzero(valid)[0]
+    idxs = np.nonzero(np.isfinite(scores))[0]
     if len(idxs) < 9:
         return []
     pts = xy[idxs]
-    used = np.zeros(len(idxs), bool)
-    boards = []
+    M = len(idxs)
 
-    def nearest_in_dir(from_i, direction, exclude):
-        d = pts - pts[from_i]
+    def nearest_in_dir(p, direction, cos_thresh=0.85):
+        d = pts - p
         dist = np.linalg.norm(d, axis=1) + 1e-9
         cosang = (d @ direction) / dist
-        score = np.where((cosang > 0.85) & ~exclude, dist, np.inf)
-        j = int(np.argmin(score))
-        return j if np.isfinite(score[j]) else -1
+        cand = np.where((cosang > cos_thresh) & (dist > 1e-6), dist, np.inf)
+        j = int(np.argmin(cand))
+        return j if np.isfinite(cand[j]) else -1
+
+    def nearest_to(p, max_dist):
+        dist = np.linalg.norm(pts - p, axis=1)
+        j = int(np.argmin(dist))
+        return j if dist[j] < max_dist else -1
+
+    def init_board(seed):
+        """3x3 seed board around `seed` (initChessBoard :602-673)."""
+        p = pts[seed]
+        d = np.linalg.norm(pts - p, axis=1)
+        d[seed] = np.inf
+        d[d < 1e-6] = np.inf          # zero-distance duplicates
+        nn1 = int(np.argmin(d))
+        if not np.isfinite(d[nn1]):
+            return None
+        dir1 = (pts[nn1] - p) / d[nn1]
+        # second axis: nearest neighbor not collinear with dir1
+        dd = pts - p
+        dist = np.linalg.norm(dd, axis=1) + 1e-9
+        cosang = np.abs((dd @ dir1) / dist)
+        cand = np.where((cosang < 0.6) & (dist > 1e-6), dist, np.inf)
+        nn2 = int(np.argmin(cand))
+        if not np.isfinite(cand[nn2]):
+            return None
+        dir2 = (pts[nn2] - p) / dist[nn2]
+        step = 0.5 * (d[nn1] + dist[nn2])
+
+        grid = -np.ones((3, 3), np.int64)
+        grid[1, 1] = seed
+        for (r, c), dv in (((1, 2), dir1), ((1, 0), -dir1),
+                           ((2, 1), dir2), ((0, 1), -dir2)):
+            j = nearest_in_dir(p, dv)
+            if j < 0 or np.linalg.norm(pts[j] - p) > dist_factor * step:
+                return None
+            grid[r, c] = j
+        # diagonal corners by cross prediction (p + d_row + d_col)
+        for (r, c), (a, b) in (((0, 0), ((1, 0), (0, 1))),
+                               ((0, 2), ((1, 2), (0, 1))),
+                               ((2, 0), ((1, 0), (2, 1))),
+                               ((2, 2), ((1, 2), (2, 1)))):
+            pred = pts[grid[a]] + pts[grid[b]] - p
+            j = nearest_to(pred, 0.6 * step)
+            if j < 0:
+                return None
+            grid[r, c] = j
+        if len(set(grid.ravel().tolist())) != 9:
+            return None
+        e, straight = board_energy(pts[grid])
+        if straight > init_straightness:
+            return None
+        return grid
+
+    def grow_once(grid):
+        """Try all 4 directions; return the grown grid with the lowest energy
+        if any growth decreases energy (growChessBoard :746-808)."""
+        e0, _ = board_energy(pts[grid])
+        best = None
+        taken = set(grid.ravel().tolist())
+        for axis, side in ((0, 0), (0, -1), (1, 0), (1, -1)):
+            A = grid if axis == 0 else grid.T
+            if A.shape[0] < 2:
+                continue
+            edge, inner = (A[0], A[1]) if side == 0 else (A[-1], A[-2])
+            # 0.85-extrapolation prediction (predictCorners :810-815)
+            pred = pts[edge] + 0.85 * (pts[edge] - pts[inner])
+            spacing = np.median(np.linalg.norm(pts[edge] - pts[inner], axis=1))
+            new = []
+            ok = True
+            for q in pred:
+                j = nearest_to(q, 0.5 * spacing)
+                if j < 0 or j in taken or j in new:
+                    ok = False
+                    break
+                new.append(j)
+            if not ok:
+                continue
+            row = np.asarray(new)[None, :]
+            B = np.concatenate([row, A] if side == 0 else [A, row], axis=0)
+            cand = B if axis == 0 else B.T
+            e1, _ = board_energy(pts[cand])
+            if e1 < e0 and (best is None or e1 < best[0]):
+                best = (e1, cand)
+        return best
 
     order = np.argsort(-scores[idxs])
+    proposals = []
+    seeded = np.zeros(M, bool)
     for seed in order:
-        if used[seed] or len(boards) >= max_boards:
+        if seeded[seed]:
             continue
-        # estimate local grid direction from the two nearest neighbors
-        d = np.linalg.norm(pts - pts[seed], axis=1)
-        d[seed] = np.inf
-        nn = np.argsort(d)[:2]
-        dir1 = (pts[nn[0]] - pts[seed]) / (d[nn[0]] + 1e-9)
-        dir2 = (pts[nn[1]] - pts[seed]) / (d[nn[1]] + 1e-9)
-        if abs(dir1 @ dir2) > 0.7:
+        grid = init_board(seed)
+        if grid is None:
             continue
-        # walk a row then columns
-        def walk(start, direction):
-            chain = [start]
-            step = d[nn[0]]
-            while True:
-                ex = used.copy()
-                ex[chain] = True
-                j = nearest_in_dir(chain[-1], direction, ex)
-                if j < 0:
-                    break
-                gap = np.linalg.norm(pts[j] - pts[chain[-1]])
-                if gap > dist_factor * step:
-                    break
-                step = gap
-                chain.append(j)
-            return chain
+        while True:
+            grown = grow_once(grid)
+            if grown is None:
+                break
+            grid = grown[1]
+        seeded[grid.ravel()] = True
+        proposals.append((board_energy(pts[grid])[0], grid))
 
-        back = walk(seed, -dir1)  # [seed, ...going backward]
-        fwd = walk(seed, dir1)    # [seed, ...going forward]
-        row = back[1:][::-1] + fwd
-        if len(row) < 3:
+    # energy-sorted dedup of overlapping boards (solveMutiCB :481-560)
+    proposals.sort(key=lambda t: t[0])
+    boards, claimed = [], np.zeros(M, bool)
+    for e, grid in proposals:
+        if len(boards) >= max_boards:
+            break
+        flat = grid.ravel()
+        if claimed[flat].mean() > 0.25:
             continue
-        grid = [row]
-        for sgn in (1, -1):
-            base = row
-            while True:
-                nxt = []
-                ok = True
-                for i in base:
-                    ex = used.copy()
-                    for g in grid:
-                        ex[g] = True
-                    j = nearest_in_dir(i, sgn * dir2, ex)
-                    if j < 0:
-                        ok = False
-                        break
-                    nxt.append(j)
-                if not ok or len(set(nxt)) != len(nxt):
-                    break
-                if sgn > 0:
-                    grid.append(nxt)
-                else:
-                    grid.insert(0, nxt)
-                base = nxt
-        if len(grid) >= 3:
-            for g in grid:
-                used[g] = True
-            boards.append(np.asarray([[idxs[i] for i in g] for g in grid]))
+        claimed[flat] = True
+        boards.append(idxs[grid])
     return boards

@@ -31,6 +31,31 @@ def cholesky_small(A):
     return jnp.stack(rows, axis=-2)
 
 
+def solve_lower_small(L, B):
+    """Solve L X = B with L (..., n, n) lower-triangular and B (..., n, k),
+    unrolled for static n (broadcasts over batch dims on the VPU)."""
+    n = L.shape[-1]
+    x = [None] * n
+    for i in range(n):
+        s = B[..., i, :]
+        for k in range(i):
+            s = s - L[..., i, k, None] * x[k]
+        x[i] = s / L[..., i, i, None]
+    return jnp.stack(x, axis=-2)
+
+
+def solve_lower_t_small(L, B):
+    """Solve L^T X = B with L (..., n, n) lower-triangular, B (..., n, k)."""
+    n = L.shape[-1]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = B[..., i, :]
+        for k in range(i + 1, n):
+            s = s - L[..., k, i, None] * x[k]
+        x[i] = s / L[..., i, i, None]
+    return jnp.stack(x, axis=-2)
+
+
 def cho_solve_small(A, b):
     """Solve A x = b for (..., n, n) SPD A and (..., n) b via unrolled
     Cholesky + forward/back substitution."""

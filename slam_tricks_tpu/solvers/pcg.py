@@ -18,10 +18,140 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from slam_tricks_tpu.ops.smallchol import cho_solve_small
+from slam_tricks_tpu.ops.smallchol import (cho_solve_small, cholesky_small,
+                                           solve_lower_small,
+                                           solve_lower_t_small)
 from slam_tricks_tpu.solvers.common import HIGHEST
 from slam_tricks_tpu.solvers.schur import _inv3x3
+
+
+class BandPairs(NamedTuple):
+    """Within-track observation pairs restricted to the first camera
+    off-diagonal band — the index structure of the block-tridiagonal part of
+    the reduced camera system S. Host-built once (static visibility).
+
+    diag_*: unordered pairs with cam(a) == cam(b) (w=0.5 on a==b so the
+    M + M^T symmetrization counts them once); super_*: ordered pairs with
+    cam(a) == cam(b) + 1 (exact subdiagonal blocks S[c+1, c])."""
+    diag_a: jnp.ndarray
+    diag_b: jnp.ndarray
+    diag_w: jnp.ndarray
+    super_a: jnp.ndarray
+    super_b: jnp.ndarray
+    super_w: jnp.ndarray
+
+
+def build_band_pairs(cam_idx, lm_idx, dtype=np.float32):
+    """Enumerate the within-track pairs landing on S's block diagonal and
+    first sub-diagonal (temporally adjacent cameras share the most landmarks
+    on trajectory problems, so tridiag(S) captures the dominant coupling)."""
+    cam_idx = np.asarray(cam_idx)
+    lm_idx = np.asarray(lm_idx)
+    order = np.argsort(lm_idx, kind="stable").astype(np.int32)
+    lm_sorted = lm_idx[order]
+    starts = np.flatnonzero(np.r_[True, lm_sorted[1:] != lm_sorted[:-1]])
+    ends = np.r_[starts[1:], lm_sorted.shape[0]]
+    da, db, sa, sb = [], [], [], []
+    for s, e in zip(starts, ends):
+        idx = order[s:e]
+        cams = cam_idx[idx]
+        k = e - s
+        ii, jj = np.triu_indices(k)
+        ca, cb = cams[ii], cams[jj]
+        same = ca == cb
+        da.append(idx[ii][same]); db.append(idx[jj][same])
+        up = ca == cb + 1     # cam(a) = cam(b) + 1
+        sa.append(idx[ii][up]); sb.append(idx[jj][up])
+        dn = cb == ca + 1
+        sa.append(idx[jj][dn]); sb.append(idx[ii][dn])
+    cat = lambda lst: (np.concatenate(lst) if lst else np.zeros(0, np.int32))
+    da, db, sa, sb = cat(da), cat(db), cat(sa), cat(sb)
+    dw = np.where(da == db, 0.5, 1.0).astype(dtype)
+
+    # keep at least one (zero-weight) entry so segment ops have static shape
+    if da.size == 0:
+        da = db = np.zeros(1, np.int32); dw = np.zeros(1, dtype)
+    if sa.size == 0:
+        sa = sb = np.zeros(1, np.int32)
+        sw = np.zeros(1, dtype)
+    else:
+        sw = np.ones(sa.shape[0], dtype)
+    return BandPairs(diag_a=jnp.asarray(da), diag_b=jnp.asarray(db),
+                     diag_w=jnp.asarray(dw), super_a=jnp.asarray(sa),
+                     super_b=jnp.asarray(sb), super_w=jnp.asarray(sw))
+
+
+def make_tridiag_precond(D, E):
+    """Block-tridiagonal preconditioner M = tridiag(S): block Cholesky
+    factorization (scan over cameras), application = bidiagonal forward +
+    backward block substitution scans. D (C,6,6) diagonal blocks, E (C-1,6,6)
+    subdiagonal blocks S[c+1, c]."""
+
+    L0 = cholesky_small(D[0])
+
+    def fac_step(L_prev, inp):
+        Dc, Ec = inp
+        # F_c = E_c L_c^{-T}:  L_c F^T = E^T
+        Ft = solve_lower_small(L_prev, jnp.swapaxes(Ec, -1, -2))
+        F = jnp.swapaxes(Ft, -1, -2)
+        Lc = cholesky_small(Dc - jnp.einsum("ik,jk->ij", F, F,
+                                            precision=HIGHEST))
+        return Lc, (Lc, F)
+
+    _, (Ls, Fs) = jax.lax.scan(fac_step, L0, (D[1:], E))
+    L = jnp.concatenate([L0[None], Ls])
+
+    def precond(r):
+        y0 = solve_lower_small(L[0], r[0][:, None])[:, 0]
+
+        def fwd(y_prev, inp):
+            Lc, Fc, rc = inp
+            y = solve_lower_small(Lc, (rc - Fc @ y_prev)[:, None])[:, 0]
+            return y, y
+
+        _, ys = jax.lax.scan(fwd, y0, (L[1:], Fs, r[1:]))
+        y = jnp.concatenate([y0[None], ys])
+
+        zC = solve_lower_t_small(L[-1], y[-1][:, None])[:, 0]
+
+        def bwd(z_next, inp):
+            Lc, Fc, yc = inp
+            z = solve_lower_t_small(Lc, (yc - Fc.T @ z_next)[:, None])[:, 0]
+            return z, z
+
+        _, zs = jax.lax.scan(bwd, zC, (L[:-1], Fs, y[:-1]), reverse=True)
+        return jnp.concatenate([zs, zC[None]])
+
+    return precond
+
+
+def assemble_tridiag(Hpp_d, Hll_inv, W_obs, cam_idx, lm_idx, free,
+                     band_pairs: BandPairs):
+    """Damped, gauge-fixed diagonal + subdiagonal blocks of S via banded pair
+    accumulation (exact blocks, O(band pairs) work)."""
+    dtype = Hpp_d.dtype
+    C = Hpp_d.shape[0]
+    Y = jnp.einsum("nij,njk->nik", W_obs, Hll_inv[lm_idx], precision=HIGHEST)
+
+    a, b, w = band_pairs.diag_a, band_pairs.diag_b, band_pairs.diag_w
+    blk = jnp.einsum("pim,pjm->pij", Y[a], W_obs[b],
+                     precision=HIGHEST) * w.astype(dtype)[:, None, None]
+    M = jax.ops.segment_sum(blk, cam_idx[a], C)
+    D = Hpp_d - (M + jnp.swapaxes(M, -1, -2))
+
+    a, b, w = band_pairs.super_a, band_pairs.super_b, band_pairs.super_w
+    blk = jnp.einsum("pim,pjm->pij", Y[a], W_obs[b],
+                     precision=HIGHEST) * w.astype(dtype)[:, None, None]
+    E = -jax.ops.segment_sum(blk, cam_idx[b], C)[:-1]       # E_c = S[c+1, c]
+
+    # gauge: identity diagonal on fixed cameras, decouple adjacent E blocks
+    eye6 = jnp.eye(6, dtype=dtype)
+    fixedf = 1.0 - free
+    D = D * free[:, None, None] + eye6[None] * fixedf[:, None, None]
+    E = E * free[1:, None, None] * free[:-1, None, None]
+    return D, E
 
 
 def make_schur_matvec(Hpp_d, Hll_inv, W_obs, cam_idx, lm_idx, n_points):
@@ -81,9 +211,14 @@ def pcg(matvec, b, precond, *, iters=100, tol=1e-10):
 
 
 def solve_rcs_pcg(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, fixed_mask,
-                  n_points, *, cg_iters=100, cg_tol=1e-8):
+                  n_points, *, cg_iters=100, cg_tol=1e-8, band_pairs=None):
     """Drop-in replacement for the dense Schur reduction: solve the reduced
     camera system with PCG and back-substitute landmarks.
+
+    Preconditioner: block-Jacobi on the damped pose blocks by default; pass
+    `band_pairs=build_band_pairs(cam_idx, lm_idx)` to upgrade to the exact
+    block-tridiagonal preconditioner (much faster CG convergence on
+    trajectory problems where adjacent cameras co-observe landmarks).
 
     Returns (delta_pose (C,6), delta_point (L,3))."""
     dtype = gp.dtype
@@ -113,12 +248,17 @@ def solve_rcs_pcg(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, fixed_mask,
         y = base_matvec(xf) * free[:, None]
         return y + x * fixed_mask.astype(dtype)[:, None]
 
-    # block-Jacobi preconditioner from the damped pose blocks
-    eye6 = jnp.eye(6, dtype=dtype)
-    M = Hpp_d * free[:, None, None] + eye6[None] * fixed_mask.astype(dtype)[:, None, None]
+    if band_pairs is not None:
+        D, E = assemble_tridiag(Hpp_d, Hll_inv, W_obs, cam_idx, lm_idx, free,
+                                band_pairs)
+        precond = make_tridiag_precond(D, E)
+    else:
+        # block-Jacobi preconditioner from the damped pose blocks
+        eye6 = jnp.eye(6, dtype=dtype)
+        M = Hpp_d * free[:, None, None] + eye6[None] * fixed_mask.astype(dtype)[:, None, None]
 
-    def precond(r):
-        return cho_solve_small(M, r)
+        def precond(r):
+            return cho_solve_small(M, r)
 
     dp, n_iters = pcg(matvec, b, precond, iters=cg_iters, tol=cg_tol)
 

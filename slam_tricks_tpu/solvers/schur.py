@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from slam_tricks_tpu.manifolds import se3, so3
 from slam_tricks_tpu.solvers.common import HIGHEST
@@ -155,6 +156,119 @@ def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_point
     return dp, dl
 
 
+class TrackPairs(NamedTuple):
+    """Precomputed within-track observation pairs for the paired Schur
+    assembly (host-built from the static visibility structure).
+
+    pair_a/pair_b index into the observation arrays; pair_w is 1.0 for
+    off-diagonal pairs (a<b), 0.5 for diagonal pairs (a==b, so the final
+    M + M^T symmetrization counts them once), 0.0 for padding. Arrays are
+    padded to a multiple of `chunk` and reshaped (n_chunks, chunk) so the
+    device loop is a static lax.scan."""
+    pair_a: jnp.ndarray   # (n_chunks, chunk) int32
+    pair_b: jnp.ndarray   # (n_chunks, chunk) int32
+    pair_w: jnp.ndarray   # (n_chunks, chunk) dtype
+
+
+def build_track_pairs(cam_idx, lm_idx, *, chunk=65536, dtype=np.float32):
+    """Enumerate all unordered within-track observation pairs (a <= b with
+    lm[a] == lm[b]) — the index structure of the off-diagonal Schur blocks
+    W Hll^-1 W^T that g2o's marginalized landmarks walk edge-pair by edge-pair
+    (st20-g2o/src/include/test_g2o.h:121). Host-side, numpy, O(sum_l k_l^2/2).
+    """
+    cam_idx = np.asarray(cam_idx)
+    lm_idx = np.asarray(lm_idx)
+    order = np.argsort(lm_idx, kind="stable").astype(np.int32)
+    lm_sorted = lm_idx[order]
+    # track segment boundaries in the sorted order
+    starts = np.flatnonzero(np.r_[True, lm_sorted[1:] != lm_sorted[:-1]])
+    ends = np.r_[starts[1:], lm_sorted.shape[0]]
+    a_list, b_list = [], []
+    for s, e in zip(starts, ends):
+        idx = order[s:e]
+        k = e - s
+        ii, jj = np.triu_indices(k)
+        a_list.append(idx[ii])
+        b_list.append(idx[jj])
+    pa = np.concatenate(a_list) if a_list else np.zeros(0, np.int32)
+    pb = np.concatenate(b_list) if b_list else np.zeros(0, np.int32)
+    pw = np.where(pa == pb, 0.5, 1.0).astype(dtype)
+    n = pa.shape[0]
+    n_pad = -n % chunk
+    if n + n_pad == 0:
+        n_pad = chunk
+    pa = np.concatenate([pa, np.zeros(n_pad, np.int32)])
+    pb = np.concatenate([pb, np.zeros(n_pad, np.int32)])
+    pw = np.concatenate([pw, np.zeros(n_pad, dtype)])
+    shape = (-1, chunk)
+    return TrackPairs(pair_a=jnp.asarray(pa.reshape(shape)),
+                      pair_b=jnp.asarray(pb.reshape(shape)),
+                      pair_w=jnp.asarray(pw.reshape(shape)))
+
+
+def _schur_reduce_paired(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam,
+                         n_cams, n_points, fixed_mask, pairs: TrackPairs):
+    """Exact reduced-camera-system solve WITHOUT the dense (C,L,6,3) block
+    tensor: S's off-diagonal mass is accumulated pair-by-pair over each
+    landmark's track,
+
+        M[cam_a, cam_b] += w * (W_a Hll_d^-1) W_b^T      for a <= b in track
+        S_off = -(M + M^T_blocks)
+
+    chunked with lax.scan so peak memory is O(chunk * 36) regardless of L.
+    This is the track-bucketed elimination of SURVEY §7's 'hard parts' —
+    compute O(sum_l k_l^2), memory O(N), exact to the dense path."""
+    dtype = gp.dtype
+    C, L = n_cams, n_points
+
+    def damp(H):
+        d = jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12)
+        return H + lam * jax.vmap(jnp.diag)(d)
+
+    Hpp_d = damp(Hpp)
+    Hll_d = damp(Hll)
+    Hll_inv = _inv3x3(Hll_d)
+
+    # per-observation Y = W Hll_d^-1  (N,6,3)
+    Y = jnp.einsum("nij,njk->nik", W_obs, Hll_inv[lm_idx], precision=HIGHEST)
+
+    def step(M_acc, pair_chunk):
+        a, b, w = pair_chunk
+        blk = jnp.einsum("pim,pjm->pij", Y[a], W_obs[b],
+                         precision=HIGHEST) * w[:, None, None]
+        seg = cam_idx[a] * C + cam_idx[b]
+        return M_acc + jax.ops.segment_sum(blk, seg, C * C), None
+
+    M0 = jnp.zeros((C * C, 6, 6), dtype=dtype)
+    M, _ = jax.lax.scan(step, M0, (pairs.pair_a, pairs.pair_b,
+                                   pairs.pair_w.astype(dtype)))
+    M = M.reshape(C, C, 6, 6)
+    S_off = -(M + M.transpose(1, 0, 3, 2))
+    S = S_off.transpose(0, 2, 1, 3)                                   # (C,6,C,6)
+    eye_c = jnp.eye(C, dtype=dtype)[:, None, :, None]
+    S = S + eye_c * Hpp_d[:, :, None, :]
+
+    # rhs, matrix-free: b = -(gp - W Hll^-1 gl)
+    u = jnp.einsum("lij,lj->li", Hll_inv, gl, precision=HIGHEST)      # (L,3)
+    y = jnp.einsum("nij,nj->ni", W_obs, u[lm_idx], precision=HIGHEST)
+    b = -(gp - jax.ops.segment_sum(y, cam_idx, C))
+
+    free = (~fixed_mask).astype(dtype)
+    S = S * free[:, None, None, None] * free[None, None, :, None]
+    S = S + eye_c * (fixed_mask.astype(dtype)[:, None, None, None]
+                     * jnp.eye(6, dtype=dtype)[None, :, None, :])
+    b = b * free[:, None]
+
+    cf = jax.scipy.linalg.cho_factor(S.reshape(C * 6, C * 6), lower=True)
+    dp = jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
+
+    # back-substitution, matrix-free
+    t = jnp.einsum("nij,ni->nj", W_obs, dp[cam_idx], precision=HIGHEST)
+    t = jax.ops.segment_sum(t, lm_idx, L)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, -gl - t, precision=HIGHEST)
+    return dp, dl
+
+
 def _retract_state(poses, points, dp, dl):
     new_poses = jax.vmap(lambda T, d: se3.SE3(so3.retract(T.R, d[:3]), T.t + d[3:]))(poses, dp)
     return new_poses, points + dl
@@ -162,14 +276,18 @@ def _retract_state(poses, points, dp, dl):
 
 def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
              lambda_init=1e-4, xtol=1e-12, gtol=0.0, linear_solver="dense",
-             cg_iters=100, cg_tol=1e-8, loss=None, callback=None):
+             cg_iters=100, cg_tol=1e-8, loss=None, callback=None,
+             track_pairs=None, band_pairs=None):
     """LM bundle adjustment. `obs` is a BAObservations-like namedtuple with
     cam_idx, lm_idx, uv, weight. Returns the final BAState.
     Fully jittable; all control flow on device.
 
     linear_solver: "dense" materializes the reduced camera system exactly
     (small/medium C); "pcg" runs matrix-free block-Jacobi PCG with O(N) memory
-    (large problems — never forms the (C,L) block tensor).
+    (large problems — never forms the (C,L) block tensor); "paired" is the
+    exact Cholesky path with O(N) memory via within-track pair accumulation —
+    pass `track_pairs=build_track_pairs(obs.cam_idx, obs.lm_idx)` (host-built
+    once; the visibility structure is static).
 
     loss: optional residuals.robust.Loss — robustified BA via IRLS: each
     linearization multiplies observation weights by rho'(||r||^2) and the
@@ -219,7 +337,15 @@ def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
             from slam_tricks_tpu.solvers.pcg import solve_rcs_pcg
             dp, dl = solve_rcs_pcg(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx,
                                    s.lam, fixed_mask, n_points,
-                                   cg_iters=cg_iters, cg_tol=cg_tol)
+                                   cg_iters=cg_iters, cg_tol=cg_tol,
+                                   band_pairs=band_pairs)
+        elif linear_solver == "paired":
+            if track_pairs is None:
+                raise ValueError("linear_solver='paired' requires track_pairs="
+                                 "build_track_pairs(obs.cam_idx, obs.lm_idx)")
+            dp, dl = _schur_reduce_paired(Hpp, Hll, gp, gl, W_obs, cam_idx,
+                                          lm_idx, s.lam, n_cams, n_points,
+                                          fixed_mask, track_pairs)
         else:
             dp, dl = _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx,
                                    s.lam, n_cams, n_points, fixed_mask)

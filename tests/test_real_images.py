@@ -49,6 +49,16 @@ class TestChessboardRealImage:
         d = np.linalg.norm(det[None, :, :] - found[:, None, :], axis=2).min(axis=1)
         assert (d < 2.0).mean() > 0.95, (d.max(), (d < 2.0).mean())
 
+        # energy-gated growth recovers the full board STRUCTURE cv2 finds
+        # (chessBoardEnergy semantics, detector.cpp:713-744)
+        boards = cb.grow_chessboards(np.asarray(xy_ref), None, np.asarray(scores))
+        assert boards, "no board grown on std.png"
+        shape = sorted(boards[0].shape)
+        assert shape == sorted((8, 5)), shape
+        grid_pts = np.asarray(xy_ref)[boards[0].ravel()]
+        dg = np.linalg.norm(grid_pts[None, :, :] - found[:, None, :], axis=2)
+        assert (dg.min(axis=1) < 2.0).all(), dg.min(axis=1).max()
+
 
 class TestUndistortRealImage:
     def test_matches_cv2_undistort(self):

@@ -66,6 +66,47 @@ class TestSchurStep:
         np.testing.assert_allclose(np.asarray(dl), dl_ref, atol=1e-9)
 
 
+class TestPairedSchur:
+    """The O(N)-memory within-track-pair assembly must be EXACT vs the dense
+    (C,L,6,3) path — same S, same step, same LM trajectory."""
+
+    def test_paired_step_equals_dense_step(self):
+        scene = small_scene()
+        poses0, points0, fixed = perturb_scene(scene, seed=11)
+        obs = scene.obs
+        C, L = scene.n_cams, scene.n_points
+        lam = jnp.asarray(1e-3, jnp.float64)
+
+        r, Jp, Jl = schur._linearize_obs(poses0, points0, obs.cam_idx,
+                                         obs.lm_idx, obs.uv, obs.weight)
+        Hpp, Hll, gp, gl, W_obs = schur._assemble(r, Jp, Jl, obs.cam_idx,
+                                                  obs.lm_idx, C, L)
+        dp_d, dl_d = schur._schur_reduce(Hpp, Hll, gp, gl, W_obs, obs.cam_idx,
+                                         obs.lm_idx, lam, C, L, fixed)
+        # small chunk to force multiple scan steps + padding
+        pairs = schur.build_track_pairs(obs.cam_idx, obs.lm_idx, chunk=257,
+                                        dtype=np.float64)
+        dp_p, dl_p = schur._schur_reduce_paired(
+            Hpp, Hll, gp, gl, W_obs, obs.cam_idx, obs.lm_idx, lam, C, L,
+            fixed, pairs)
+        np.testing.assert_allclose(np.asarray(dp_p), np.asarray(dp_d), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(dl_p), np.asarray(dl_d), atol=1e-10)
+
+    def test_paired_full_solve_matches_dense(self):
+        scene = small_scene(n_per_wall=10, n_cams=6, pix_noise=1e-3)
+        poses0, points0, fixed = perturb_scene(scene, seed=9)
+        pairs = schur.build_track_pairs(scene.obs.cam_idx, scene.obs.lm_idx,
+                                        chunk=1024, dtype=np.float64)
+        dense = schur.solve_ba(poses0, points0, scene.obs, fixed_mask=fixed,
+                               max_iters=25)
+        paired = jax.jit(schur.solve_ba,
+                         static_argnames=("max_iters", "linear_solver"))(
+            poses0, points0, scene.obs, fixed_mask=fixed, max_iters=25,
+            linear_solver="paired", track_pairs=pairs)
+        np.testing.assert_allclose(float(paired.cost), float(dense.cost),
+                                   rtol=1e-8)
+
+
 class TestBAEndToEnd:
     def test_noiseless_recovery(self):
         scene = small_scene(n_per_wall=12, n_cams=8)
