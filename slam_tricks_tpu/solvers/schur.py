@@ -112,7 +112,16 @@ def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_point
                   fixed_mask):
     """Form and solve the reduced camera system; back-substitute landmarks.
 
+    TPU shape: with Hll_d = Ld Ld^T (batched closed-form 3x3 Cholesky), the
+    off-diagonal Schur mass W Hll_d^-1 W^T equals -B B^T for the whitened
+    block matrix B[c, l] = W[c,l] Ld[l]^-T — ONE (C*6, L*3)x(L*3, C*6) MXU
+    matmul instead of the two-stage (C,L)-block einsum chain; rhs and
+    back-substitution are matrix-free segment reductions over observations
+    (nothing but B ever materializes the (C,L) block structure).
+
     Returns (delta_pose (C,6), delta_point (L,3))."""
+    from slam_tricks_tpu.ops.smallchol import cholesky_small, solve_lower_small
+
     dtype = gp.dtype
     C, L = n_cams, n_points
 
@@ -123,21 +132,25 @@ def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_point
 
     Hpp_d = damp(Hpp)
     Hll_d = damp(Hll)
-
-    # batched closed-form 3x3 inverse (adjugate/det) — branch-free VPU math,
-    # the exact op a fused Pallas elimination kernel performs per landmark
     Hll_inv = _inv3x3(Hll_d)
 
-    # dense (C,L) block tensor of W — scatter-add of per-obs 6x3 blocks
-    W = jnp.zeros((C, L, 6, 3), dtype=dtype).at[cam_idx, lm_idx].add(W_obs)
-
-    WHinv = jnp.einsum("clij,ljk->clik", W, Hll_inv, precision=HIGHEST)                  # (C,L,6,3)
-    S_off = jnp.einsum("clik,elmk->ciem", WHinv, W, precision=HIGHEST)                   # (C,6,C,6)
-    S = -S_off
+    # whiten per observation: X = Ld^-1 W^T  (N,3,6), so B_obs = X^T
+    Ld = cholesky_small(Hll_d)                                        # (L,3,3)
+    X = solve_lower_small(Ld[lm_idx], jnp.swapaxes(W_obs, -1, -2))    # (N,3,6)
+    # scatter whitened blocks into B (L,3,C,6) -> one big symmetric matmul
+    B = jnp.zeros((L, 3, C, 6), dtype=dtype).at[lm_idx, :, cam_idx].add(X)
+    B_mat = B.reshape(L * 3, C * 6)
+    S_off = -jax.lax.dot_general(B_mat, B_mat, (((0,), (0,)), ((), ())),
+                                 precision=HIGHEST)                   # (C*6,C*6)
+    S = S_off.reshape(C, 6, C, 6)
     # block-diagonal adds as broadcast eye-masks (no scatters — XLA fuses these)
     eye_c = jnp.eye(C, dtype=dtype)[:, None, :, None]
     S = S + eye_c * Hpp_d[:, :, None, :]
-    b = -(gp - jnp.einsum("clik,lk->ci", WHinv, gl, precision=HIGHEST))                  # (C,6)
+
+    # rhs, matrix-free: b = -(gp - W Hll^-1 gl)
+    u = jnp.einsum("lij,lj->li", Hll_inv, gl, precision=HIGHEST)      # (L,3)
+    y = jnp.einsum("nij,nj->ni", W_obs, u[lm_idx], precision=HIGHEST)
+    b = -(gp - jax.ops.segment_sum(y, cam_idx, C))                    # (C,6)
 
     # gauge: identity rows/cols for fixed cameras
     free = (~fixed_mask).astype(dtype)                                # (C,)
@@ -150,9 +163,125 @@ def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_point
     cf = jax.scipy.linalg.cho_factor(S_mat, lower=True)
     dp = jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
 
-    # back-substitution: dl = Hll^-1 (-gl - W^T dp)
-    rhs_l = -gl - jnp.einsum("clik,ci->lk", W, dp, precision=HIGHEST)
-    dl = jnp.einsum("lij,lj->li", Hll_inv, rhs_l, precision=HIGHEST)
+    # back-substitution, matrix-free: dl = Hll^-1 (-gl - W^T dp)
+    t = jnp.einsum("nij,ni->nj", W_obs, dp[cam_idx], precision=HIGHEST)
+    t = jax.ops.segment_sum(t, lm_idx, L)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, -gl - t, precision=HIGHEST)
+    return dp, dl
+
+
+class TrackTable(NamedTuple):
+    """Static track-padded observation layout (host-built once from the
+    visibility structure): obs_idx[l, k] indexes the k-th observation of
+    landmark l into the flat observation arrays; mask marks real entries.
+
+    Purpose: TPU scatters serialize (measured ~7-12 ms per 83k-obs scatter /
+    segment_sum on v5e) while gathers and matmuls run at speed-of-light. The
+    track table converts EVERY scatter in the BA iteration into gathers +
+    batched einsums — the TPU-native layout for the block sparsity st20
+    renders (sim_data.h:108-159)."""
+    obs_idx: jnp.ndarray   # (L, K) int32
+    mask: jnp.ndarray      # (L, K) dtype 1/0
+
+
+def build_track_table(cam_idx, lm_idx, weight=None, *, n_points=None,
+                      dtype=np.float32):
+    """Host-side: group observation indices by landmark, pad to the max track
+    length (rounded up to a multiple of 8). Padding entries point at index 0
+    with mask 0 (all gathered values are masked)."""
+    cam_idx = np.asarray(cam_idx)
+    lm_idx = np.asarray(lm_idx)
+    keep = np.ones(lm_idx.shape[0], bool) if weight is None else (np.asarray(weight) > 0)
+    L = int(n_points) if n_points is not None else int(lm_idx.max()) + 1
+    valid = np.flatnonzero(keep)
+    order = valid[np.argsort(lm_idx[valid], kind="stable")]
+    lm_sorted = lm_idx[order]
+    counts = np.bincount(lm_sorted, minlength=L)
+    K = int(counts.max()) if counts.size else 1
+    K = K + (-K) % 8
+    obs_idx = np.zeros((L, K), np.int32)
+    mask = np.zeros((L, K), dtype)
+    starts = np.zeros(L + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    for l in range(L):
+        s, e = starts[l], starts[l + 1]
+        obs_idx[l, :e - s] = order[s:e]
+        mask[l, :e - s] = 1
+    return TrackTable(obs_idx=jnp.asarray(obs_idx), mask=jnp.asarray(mask))
+
+
+def _assemble_tracks(r, Jp, Jl, cam_idx, table: TrackTable, n_cams, n_points):
+    """Scatter-free normal-equation assembly: camera-side blocks via one-hot
+    matmul (C is small), landmark-side blocks via track-padded batched einsum.
+    Returns the same tuple as _assemble."""
+    dtype = r.dtype
+    oh_c = jax.nn.one_hot(cam_idx, n_cams, dtype=dtype)                  # (N,C)
+    JpTJp = jnp.einsum("nri,nrj->nij", Jp, Jp, precision=HIGHEST)
+    Hpp = jnp.einsum("nc,nij->cij", oh_c, JpTJp, precision=HIGHEST)      # (C,6,6)
+    gp = jnp.einsum("nc,nri,nr->ci", oh_c, Jp, r, precision=HIGHEST)     # (C,6)
+    m = table.mask[..., None, None]
+    Jl_t = Jl[table.obs_idx] * m                                         # (L,K,2,3)
+    r_t = r[table.obs_idx] * table.mask[..., None]                       # (L,K,2)
+    Hll = jnp.einsum("lkri,lkrj->lij", Jl_t, Jl_t, precision=HIGHEST)    # (L,3,3)
+    gl = jnp.einsum("lkri,lkr->li", Jl_t, r_t, precision=HIGHEST)        # (L,3)
+    W_obs = jnp.einsum("nri,nrj->nij", Jp, Jl, precision=HIGHEST)        # (N,6,3)
+    return Hpp, Hll, gp, gl, W_obs
+
+
+def _schur_reduce_tracks(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam,
+                         n_cams, n_points, fixed_mask, table: TrackTable):
+    """Scatter-free reduced-camera-system solve: the whitened block matrix B
+    is assembled by track-padded one-hot einsum (gathers + batched matmuls
+    only), then S_off = -B^T B is one MXU matmul. Exact same math as
+    _schur_reduce."""
+    from slam_tricks_tpu.ops.smallchol import cholesky_small, solve_lower_small
+
+    dtype = gp.dtype
+    C, L = n_cams, n_points
+
+    def damp(H):
+        d = jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12)
+        return H + lam * jax.vmap(jnp.diag)(d)
+
+    Hpp_d = damp(Hpp)
+    Hll_d = damp(Hll)
+    Hll_inv = _inv3x3(Hll_d)
+
+    # whiten per observation: X = Ld^-1 W^T  (N,3,6)
+    Ld = cholesky_small(Hll_d)
+    X = solve_lower_small(Ld[lm_idx], jnp.swapaxes(W_obs, -1, -2))
+    # B via track gather + per-track one-hot einsum (no scatter)
+    X_t = X[table.obs_idx] * table.mask[..., None, None]                 # (L,K,3,6)
+    oh_ct = (jax.nn.one_hot(cam_idx[table.obs_idx], C, dtype=dtype)
+             * table.mask[..., None])                                    # (L,K,C)
+    B = jnp.einsum("lkc,lkij->licj", oh_ct, X_t, precision=HIGHEST)      # (L,3,C,6)
+    B_mat = B.reshape(L * 3, C * 6)
+    S_off = -jax.lax.dot_general(B_mat, B_mat, (((0,), (0,)), ((), ())),
+                                 precision=HIGHEST)
+    S = S_off.reshape(C, 6, C, 6)
+    eye_c = jnp.eye(C, dtype=dtype)[:, None, :, None]
+    S = S + eye_c * Hpp_d[:, :, None, :]
+
+    # rhs, matrix-free with one-hot camera reduction
+    u = jnp.einsum("lij,lj->li", Hll_inv, gl, precision=HIGHEST)
+    y = jnp.einsum("nij,nj->ni", W_obs, u[lm_idx], precision=HIGHEST)
+    oh_c = jax.nn.one_hot(cam_idx, C, dtype=dtype)
+    b = -(gp - jnp.einsum("nc,ni->ci", oh_c, y, precision=HIGHEST))
+
+    free = (~fixed_mask).astype(dtype)
+    S = S * free[:, None, None, None] * free[None, None, :, None]
+    S = S + eye_c * (fixed_mask.astype(dtype)[:, None, None, None]
+                     * jnp.eye(6, dtype=dtype)[None, :, None, :])
+    b = b * free[:, None]
+
+    cf = jax.scipy.linalg.cho_factor(S.reshape(C * 6, C * 6), lower=True)
+    dp = jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
+
+    # back-substitution via track gather
+    W_t = W_obs[table.obs_idx] * table.mask[..., None, None]             # (L,K,6,3)
+    dp_t = dp[cam_idx[table.obs_idx]]                                    # (L,K,6)
+    t = jnp.einsum("lkij,lki->lj", W_t, dp_t, precision=HIGHEST)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, -gl - t, precision=HIGHEST)
     return dp, dl
 
 
@@ -277,7 +406,7 @@ def _retract_state(poses, points, dp, dl):
 def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
              lambda_init=1e-4, xtol=1e-12, gtol=0.0, linear_solver="dense",
              cg_iters=100, cg_tol=1e-8, loss=None, callback=None,
-             track_pairs=None, band_pairs=None):
+             track_pairs=None, band_pairs=None, track_table=None):
     """LM bundle adjustment. `obs` is a BAObservations-like namedtuple with
     cam_idx, lm_idx, uv, weight. Returns the final BAState.
     Fully jittable; all control flow on device.
@@ -287,7 +416,10 @@ def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
     (large problems — never forms the (C,L) block tensor); "paired" is the
     exact Cholesky path with O(N) memory via within-track pair accumulation —
     pass `track_pairs=build_track_pairs(obs.cam_idx, obs.lm_idx)` (host-built
-    once; the visibility structure is static).
+    once; the visibility structure is static); "tracks" is the scatter-free
+    fast path (gathers + batched matmuls only — TPU scatters serialize, see
+    TrackTable) — pass `track_table=build_track_table(obs.cam_idx, obs.lm_idx,
+    obs.weight, n_points=L)`.
 
     loss: optional residuals.robust.Loss — robustified BA via IRLS: each
     linearization multiplies observation weights by rho'(||r||^2) and the
@@ -331,9 +463,21 @@ def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
     def body(s):
         w_it = _weights_at(s.poses, s.points) if loss is not None else base_weight
         r, Jp, Jl = _linearize_obs(s.poses, s.points, cam_idx, lm_idx, uv, w_it)
-        Hpp, Hll, gp, gl, W_obs = _assemble(r, Jp, Jl, cam_idx, lm_idx, n_cams, n_points)
+        if linear_solver == "tracks":
+            if track_table is None:
+                raise ValueError("linear_solver='tracks' requires track_table="
+                                 "build_track_table(obs.cam_idx, obs.lm_idx, "
+                                 "obs.weight, n_points=L)")
+            Hpp, Hll, gp, gl, W_obs = _assemble_tracks(
+                r, Jp, Jl, cam_idx, track_table, n_cams, n_points)
+        else:
+            Hpp, Hll, gp, gl, W_obs = _assemble(r, Jp, Jl, cam_idx, lm_idx, n_cams, n_points)
         gnorm = jnp.maximum(jnp.max(jnp.abs(gp)), jnp.max(jnp.abs(gl)))
-        if linear_solver == "pcg":
+        if linear_solver == "tracks":
+            dp, dl = _schur_reduce_tracks(Hpp, Hll, gp, gl, W_obs, cam_idx,
+                                          lm_idx, s.lam, n_cams, n_points,
+                                          fixed_mask, track_table)
+        elif linear_solver == "pcg":
             from slam_tricks_tpu.solvers.pcg import solve_rcs_pcg
             dp, dl = solve_rcs_pcg(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx,
                                    s.lam, fixed_mask, n_points,
