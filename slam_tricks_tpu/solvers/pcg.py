@@ -24,7 +24,7 @@ from slam_tricks_tpu.ops.smallchol import (cho_solve_small, cholesky_small,
                                            solve_lower_small,
                                            solve_lower_t_small)
 from slam_tricks_tpu.solvers.common import HIGHEST
-from slam_tricks_tpu.solvers.schur import _inv3x3
+from slam_tricks_tpu.solvers.schur import _damp_hll, _inv3x3
 
 
 class BandPairs(NamedTuple):
@@ -229,7 +229,7 @@ def solve_rcs_pcg(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, fixed_mask,
         return H + lam * jax.vmap(jnp.diag)(d)
 
     Hpp_d = damp(Hpp)
-    Hll_d = damp(Hll)
+    Hll_d = _damp_hll(Hll, lam)
     Hll_inv = _inv3x3(Hll_d)
 
     # rhs: b = -(gp - W Hll^-1 gl), with gauge rows zeroed

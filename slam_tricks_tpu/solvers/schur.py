@@ -108,6 +108,88 @@ def _inv3x3(A):
     return rows * inv_det[..., None, None]
 
 
+def _damp_blocks(H, lam):
+    """Marquardt damping of batched diagonal blocks: H + lam*diag(max(diag,eps))."""
+    d = jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12)
+    return H + lam * jax.vmap(jnp.diag)(d)
+
+
+def _damp_hll(Hll, lam):
+    """Damped landmark blocks with EMPTY blocks (zero trace — landmarks with no
+    surviving observations) replaced by identity. The eps-damped zero block has
+    det ~ (lam*1e-12)^3 which underflows f32 (~1e-38 min normal), turning its
+    closed-form inverse into inf and poisoning the solve with 0*inf = NaN.
+    Empty landmarks have zero W and gl, so the identity contributes nothing."""
+    tr = jnp.einsum("lii->l", Hll)
+    eye3 = jnp.eye(3, dtype=Hll.dtype)
+    return jnp.where(tr[:, None, None] > 0, _damp_blocks(Hll, lam), eye3[None])
+
+
+def _finish_and_solve_S(S, Hpp_d, b, fixed_mask):
+    """Add the damped pose diagonal to the off-diagonal Schur mass S (C,6,C,6),
+    apply gauge masking (identity rows/cols for fixed cameras — the
+    SetParameterBlockConstant analog, st20 test_ceres.h:127-130), and solve by
+    dense Cholesky. Returns dp (C,6)."""
+    dtype = b.dtype
+    C = b.shape[0]
+    eye_c = jnp.eye(C, dtype=dtype)[:, None, :, None]
+    S = S + eye_c * Hpp_d[:, :, None, :]
+    free = (~fixed_mask).astype(dtype)
+    S = S * free[:, None, None, None] * free[None, None, :, None]
+    S = S + eye_c * (fixed_mask.astype(dtype)[:, None, None, None]
+                     * jnp.eye(6, dtype=dtype)[None, :, None, :])
+    b = b * free[:, None]
+    cf = jax.scipy.linalg.cho_factor(S.reshape(C * 6, C * 6), lower=True)
+    return jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
+
+
+def lm_accept(cost_old, cost_try, lam, nu, pred, bad):
+    """Nielsen gain-ratio trust-region update — THE control law shared by every
+    LM loop (single-chip and distributed, VERDICT r1 item 5: identical law so
+    all solvers take the same iteration trajectory on the same problem).
+
+    pred: predicted model decrease 0.5 * d^T (lam*D d - g).
+    Returns (accept, lam_new, nu_new)."""
+    rho = (cost_old - cost_try) / jnp.maximum(pred, 1e-30)
+    accept = (cost_try < cost_old) & jnp.isfinite(cost_try) & (~bad)
+    lam_new = jnp.where(
+        accept,
+        lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+        lam * nu)
+    lam_new = jnp.clip(lam_new, 1e-12, 1e10)
+    nu_new = jnp.where(accept, 2.0, nu * 2.0)
+    return accept, lam_new, nu_new
+
+
+def lm_gain_update(cost_old, cost_try, lam, nu, dvec, gvec, diag_scaled, bad):
+    """lm_accept with the model decrease computed from flat step/gradient/
+    Marquardt-diagonal vectors. Returns (accept, lam_new, nu_new)."""
+    pred = 0.5 * jnp.dot(dvec, lam * diag_scaled * dvec - gvec)
+    return lm_accept(cost_old, cost_try, lam, nu, pred, bad)
+
+
+def _paired_S_mass(Y, W_obs, cam_idx, pair_a, pair_b, pair_w, n_cams):
+    """Accumulate the (unsymmetrized) off-diagonal Schur mass
+        M[cam_a, cam_b] += w * Y[a] W[b]^T      over within-track pairs,
+    chunked with lax.scan so peak memory is O(chunk * 36) regardless of the
+    landmark count. pair_* have shape (n_chunks, chunk); Y = W Hll_d^-1.
+    Returns M (C, C, 6, 6); S_off = -(M + M^T_blocks)."""
+    C = n_cams
+
+    def step(M_acc, chunk):
+        a, b, w = chunk
+        blk = jnp.einsum("pim,pjm->pij", Y[a], W_obs[b],
+                         precision=HIGHEST) * w[:, None, None]
+        seg = cam_idx[a] * C + cam_idx[b]
+        return M_acc + jax.ops.segment_sum(blk, seg, C * C), None
+
+    # carry seeded from a (zeroed) data value so its vma matches the scan
+    # output when this runs inside shard_map (device-varying inputs)
+    M0 = jnp.zeros((C * C, 6, 6), dtype=Y.dtype) + 0.0 * Y.reshape(-1)[0]
+    M, _ = jax.lax.scan(step, M0, (pair_a, pair_b, pair_w.astype(Y.dtype)))
+    return M.reshape(C, C, 6, 6)
+
+
 def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_points,
                   fixed_mask):
     """Form and solve the reduced camera system; back-substitute landmarks.
@@ -125,13 +207,8 @@ def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_point
     dtype = gp.dtype
     C, L = n_cams, n_points
 
-    # Marquardt-damped diagonal blocks
-    def damp(H):
-        d = jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12)
-        return H + lam * jax.vmap(jnp.diag)(d)
-
-    Hpp_d = damp(Hpp)
-    Hll_d = damp(Hll)
+    Hpp_d = _damp_blocks(Hpp, lam)
+    Hll_d = _damp_hll(Hll, lam)
     Hll_inv = _inv3x3(Hll_d)
 
     # whiten per observation: X = Ld^-1 W^T  (N,3,6), so B_obs = X^T
@@ -142,26 +219,13 @@ def _schur_reduce(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam, n_cams, n_point
     B_mat = B.reshape(L * 3, C * 6)
     S_off = -jax.lax.dot_general(B_mat, B_mat, (((0,), (0,)), ((), ())),
                                  precision=HIGHEST)                   # (C*6,C*6)
-    S = S_off.reshape(C, 6, C, 6)
-    # block-diagonal adds as broadcast eye-masks (no scatters — XLA fuses these)
-    eye_c = jnp.eye(C, dtype=dtype)[:, None, :, None]
-    S = S + eye_c * Hpp_d[:, :, None, :]
 
     # rhs, matrix-free: b = -(gp - W Hll^-1 gl)
     u = jnp.einsum("lij,lj->li", Hll_inv, gl, precision=HIGHEST)      # (L,3)
     y = jnp.einsum("nij,nj->ni", W_obs, u[lm_idx], precision=HIGHEST)
     b = -(gp - jax.ops.segment_sum(y, cam_idx, C))                    # (C,6)
 
-    # gauge: identity rows/cols for fixed cameras
-    free = (~fixed_mask).astype(dtype)                                # (C,)
-    S = S * free[:, None, None, None] * free[None, None, :, None]
-    S = S + eye_c * (fixed_mask.astype(dtype)[:, None, None, None]
-                     * jnp.eye(6, dtype=dtype)[None, :, None, :])
-    b = b * free[:, None]
-
-    S_mat = S.reshape(C * 6, C * 6)
-    cf = jax.scipy.linalg.cho_factor(S_mat, lower=True)
-    dp = jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
+    dp = _finish_and_solve_S(S_off.reshape(C, 6, C, 6), Hpp_d, b, fixed_mask)
 
     # back-substitution, matrix-free: dl = Hll^-1 (-gl - W^T dp)
     t = jnp.einsum("nij,ni->nj", W_obs, dp[cam_idx], precision=HIGHEST)
@@ -239,12 +303,8 @@ def _schur_reduce_tracks(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam,
     dtype = gp.dtype
     C, L = n_cams, n_points
 
-    def damp(H):
-        d = jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12)
-        return H + lam * jax.vmap(jnp.diag)(d)
-
-    Hpp_d = damp(Hpp)
-    Hll_d = damp(Hll)
+    Hpp_d = _damp_blocks(Hpp, lam)
+    Hll_d = _damp_hll(Hll, lam)
     Hll_inv = _inv3x3(Hll_d)
 
     # whiten per observation: X = Ld^-1 W^T  (N,3,6)
@@ -258,9 +318,6 @@ def _schur_reduce_tracks(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam,
     B_mat = B.reshape(L * 3, C * 6)
     S_off = -jax.lax.dot_general(B_mat, B_mat, (((0,), (0,)), ((), ())),
                                  precision=HIGHEST)
-    S = S_off.reshape(C, 6, C, 6)
-    eye_c = jnp.eye(C, dtype=dtype)[:, None, :, None]
-    S = S + eye_c * Hpp_d[:, :, None, :]
 
     # rhs, matrix-free with one-hot camera reduction
     u = jnp.einsum("lij,lj->li", Hll_inv, gl, precision=HIGHEST)
@@ -268,14 +325,7 @@ def _schur_reduce_tracks(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam,
     oh_c = jax.nn.one_hot(cam_idx, C, dtype=dtype)
     b = -(gp - jnp.einsum("nc,ni->ci", oh_c, y, precision=HIGHEST))
 
-    free = (~fixed_mask).astype(dtype)
-    S = S * free[:, None, None, None] * free[None, None, :, None]
-    S = S + eye_c * (fixed_mask.astype(dtype)[:, None, None, None]
-                     * jnp.eye(6, dtype=dtype)[None, :, None, :])
-    b = b * free[:, None]
-
-    cf = jax.scipy.linalg.cho_factor(S.reshape(C * 6, C * 6), lower=True)
-    dp = jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
+    dp = _finish_and_solve_S(S_off.reshape(C, 6, C, 6), Hpp_d, b, fixed_mask)
 
     # back-substitution via track gather
     W_t = W_obs[table.obs_idx] * table.mask[..., None, None]             # (L,K,6,3)
@@ -350,46 +400,22 @@ def _schur_reduce_paired(Hpp, Hll, gp, gl, W_obs, cam_idx, lm_idx, lam,
     dtype = gp.dtype
     C, L = n_cams, n_points
 
-    def damp(H):
-        d = jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12)
-        return H + lam * jax.vmap(jnp.diag)(d)
-
-    Hpp_d = damp(Hpp)
-    Hll_d = damp(Hll)
+    Hpp_d = _damp_blocks(Hpp, lam)
+    Hll_d = _damp_hll(Hll, lam)
     Hll_inv = _inv3x3(Hll_d)
 
     # per-observation Y = W Hll_d^-1  (N,6,3)
     Y = jnp.einsum("nij,njk->nik", W_obs, Hll_inv[lm_idx], precision=HIGHEST)
-
-    def step(M_acc, pair_chunk):
-        a, b, w = pair_chunk
-        blk = jnp.einsum("pim,pjm->pij", Y[a], W_obs[b],
-                         precision=HIGHEST) * w[:, None, None]
-        seg = cam_idx[a] * C + cam_idx[b]
-        return M_acc + jax.ops.segment_sum(blk, seg, C * C), None
-
-    M0 = jnp.zeros((C * C, 6, 6), dtype=dtype)
-    M, _ = jax.lax.scan(step, M0, (pairs.pair_a, pairs.pair_b,
-                                   pairs.pair_w.astype(dtype)))
-    M = M.reshape(C, C, 6, 6)
-    S_off = -(M + M.transpose(1, 0, 3, 2))
-    S = S_off.transpose(0, 2, 1, 3)                                   # (C,6,C,6)
-    eye_c = jnp.eye(C, dtype=dtype)[:, None, :, None]
-    S = S + eye_c * Hpp_d[:, :, None, :]
+    M = _paired_S_mass(Y, W_obs, cam_idx, pairs.pair_a, pairs.pair_b,
+                       pairs.pair_w, C)
+    S_off = -(M + M.transpose(1, 0, 3, 2)).transpose(0, 2, 1, 3)      # (C,6,C,6)
 
     # rhs, matrix-free: b = -(gp - W Hll^-1 gl)
     u = jnp.einsum("lij,lj->li", Hll_inv, gl, precision=HIGHEST)      # (L,3)
     y = jnp.einsum("nij,nj->ni", W_obs, u[lm_idx], precision=HIGHEST)
     b = -(gp - jax.ops.segment_sum(y, cam_idx, C))
 
-    free = (~fixed_mask).astype(dtype)
-    S = S * free[:, None, None, None] * free[None, None, :, None]
-    S = S + eye_c * (fixed_mask.astype(dtype)[:, None, None, None]
-                     * jnp.eye(6, dtype=dtype)[None, :, None, :])
-    b = b * free[:, None]
-
-    cf = jax.scipy.linalg.cho_factor(S.reshape(C * 6, C * 6), lower=True)
-    dp = jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
+    dp = _finish_and_solve_S(S_off, Hpp_d, b, fixed_mask)
 
     # back-substitution, matrix-free
     t = jnp.einsum("nij,ni->nj", W_obs, dp[cam_idx], precision=HIGHEST)
@@ -502,19 +528,11 @@ def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
         # gain ratio with Marquardt-damped model decrease
         dvec = jnp.concatenate([dp_s.reshape(-1), dl_s.reshape(-1)])
         gvec = jnp.concatenate([gp.reshape(-1), gl.reshape(-1)])
-        diagH = jnp.concatenate([
+        diagH = jnp.maximum(jnp.concatenate([
             jax.vmap(jnp.diagonal)(Hpp).reshape(-1),
-            jax.vmap(jnp.diagonal)(Hll).reshape(-1)])
-        pred = 0.5 * jnp.dot(dvec, s.lam * jnp.maximum(diagH, 1e-12) * dvec - gvec)
-        rho = (s.cost - cost_try) / jnp.maximum(pred, 1e-30)
-
-        accept = (cost_try < s.cost) & jnp.isfinite(cost_try) & (~bad)
-        lam_new = jnp.where(
-            accept,
-            s.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
-            s.lam * s.nu)
-        lam_new = jnp.clip(lam_new, 1e-12, 1e10)
-        nu_new = jnp.where(accept, 2.0, s.nu * 2.0)
+            jax.vmap(jnp.diagonal)(Hll).reshape(-1)]), 1e-12)
+        accept, lam_new, nu_new = lm_gain_update(
+            s.cost, cost_try, s.lam, s.nu, dvec, gvec, diagH, bad)
 
         sel = lambda a, b: jnp.where(accept, a, b)
         poses_new = jax.tree_util.tree_map(sel, poses_try, s.poses)

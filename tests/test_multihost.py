@@ -26,7 +26,9 @@ def _worker(process_id):
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from slam_tricks_tpu.parallel import make_ba_solver, pad_obs_to_multiple
+    from slam_tricks_tpu.parallel import make_ba_solver
+    from slam_tricks_tpu.parallel.partition import (build_local_pairs,
+                                                    partition_obs_by_landmark)
     from slam_tricks_tpu.parallel.multihost import global_obs_mesh, make_global_array
     from slam_tricks_tpu.sim import make_scene, perturb_scene
 
@@ -35,10 +37,12 @@ def _worker(process_id):
 
     scene = make_scene(n_per_wall=8, n_cams=5, seed=71)
     poses0, points0, fixed = perturb_scene(scene, seed=72)
-    obs = pad_obs_to_multiple(scene.obs, 8)
+    obs = partition_obs_by_landmark(scene.obs, 8)
+    pairs = build_local_pairs(obs, 8, dtype=np.float64)
     mesh = global_obs_mesh()
 
-    # each process contributes its half of the observation arrays
+    # each process contributes its half of the (track-partitioned) obs arrays
+    # and its 4 devices' pair chunks
     n = obs.cam_idx.shape[0]
     half = n // 2
     sl = slice(process_id * half, (process_id + 1) * half)
@@ -46,11 +50,18 @@ def _worker(process_id):
     def glob(a):
         return make_global_array(np.asarray(a[sl]), mesh, P("obs"))
 
+    def glob_pairs(a):
+        return make_global_array(np.asarray(a[process_id * 4:(process_id + 1) * 4]),
+                                 mesh, P("obs"))
+
     obs_global = type(obs)(cam_idx=glob(obs.cam_idx), lm_idx=glob(obs.lm_idx),
                            uv=glob(obs.uv), weight=glob(obs.weight))
+    pairs_global = type(pairs)(pair_a=glob_pairs(pairs.pair_a),
+                               pair_b=glob_pairs(pairs.pair_b),
+                               pair_w=glob_pairs(pairs.pair_w))
 
     solver = make_ba_solver(mesh, max_iters=15)
-    out = solver(poses0, points0, obs_global, fixed)
+    out = solver(poses0, points0, obs_global, pairs_global, fixed)
     cost = float(out.cost)
     print(f"WORKER{process_id} FINAL_COST={cost:.6e}", flush=True)
     assert cost < 1e-18, cost

@@ -101,3 +101,17 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(back.it) == 7 and float(back.cost) == 0.5
     np.testing.assert_array_equal(np.asarray(back.points), np.asarray(state.points))
     np.testing.assert_array_equal(np.asarray(back.poses.t), np.asarray(state.poses.t))
+
+
+def test_checkpoint_rejects_mismatched_structure(tmp_path):
+    import pytest
+    from slam_tricks_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    tree = {"a": jnp.ones((3,)), "b": jnp.zeros((2, 2))}
+    path = save_pytree(str(tmp_path / "t.npz"), tree)
+    # different treedef -> raises (silent leaf mis-assignment guard)
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_pytree(path, {"x": jnp.ones((3,)), "y": jnp.zeros((2, 2))})
+    # same treedef, different leaf shape -> raises
+    with pytest.raises(ValueError, match="shape"):
+        load_pytree(path, {"a": jnp.ones((4,)), "b": jnp.zeros((2, 2))})
