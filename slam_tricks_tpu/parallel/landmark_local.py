@@ -169,7 +169,7 @@ def make_ba_solver_landmark_local(mesh: Mesh, axis: str = "obs", *,
                 points=sel(points_try, s.points),
                 cost=sel(cost_try, s.cost),
                 lam=lam_new, nu=nu_new, it=s.it + 1,
-                done=(accept & (step_sq < xtol * xtol)) | bad)
+                done=accept & (step_sq < xtol * xtol))
 
         return jax.lax.while_loop(cond, body, state)
 

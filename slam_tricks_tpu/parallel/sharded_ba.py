@@ -182,7 +182,7 @@ def make_ba_solver(mesh: Mesh, axis: str = "obs", *, max_iters=30,
                 points=sel(points_try, s.points),
                 cost=sel(cost_try, s.cost), lam=lam_new, nu=nu_new,
                 it=s.it + 1,
-                done=(accept & (step_sq < xtol * xtol)) | bad)
+                done=accept & (step_sq < xtol * xtol))
 
         return jax.lax.while_loop(cond, body, state)
 

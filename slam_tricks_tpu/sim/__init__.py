@@ -4,6 +4,7 @@ from slam_tricks_tpu.sim.ba_scene import (  # noqa: F401
     BAObservations,
     BAScene,
     make_scene,
+    make_trajectory_scene,
     perturb_scene,
 )
 from slam_tricks_tpu.sim.calib_scene import CalibScene, make_calib_scene  # noqa: F401

@@ -127,6 +127,74 @@ def make_scene(n_per_wall=100, n_cams=30, half=4.0, fov_tan=1.2, min_depth=0.25,
                    obs=obs, n_cams=n_cams, n_points=L)
 
 
+def make_trajectory_scene(n_cams=1024, n_points=200_000, track_len=8,
+                          radius=50.0, seed=0, pix_noise=0.0,
+                          dtype=np.float32):
+    """Large-scale SLAM-like BA scene: cameras on a circle looking tangentially
+    forward, each landmark observed by a WINDOW of `track_len` consecutive
+    cameras (the visibility locality of a real trajectory — what makes the
+    reduced camera system block-banded and the block-tridiagonal PCG
+    preconditioner effective; scaling analog of the st20 problem for the
+    C >> 100 regime SURVEY §7 step 5 targets with PCG).
+
+    Observations are emitted sorted by landmark (track-contiguous). Returns a
+    BAScene."""
+    rng = np.random.default_rng(seed)
+    ang = 2 * np.pi * np.arange(n_cams) / n_cams
+    eyes = np.stack([radius * np.cos(ang), radius * np.sin(ang),
+                     np.zeros(n_cams)], axis=1)
+    # look along the tangent
+    fwd = np.stack([-np.sin(ang), np.cos(ang), np.zeros(n_cams)], axis=1)
+    Rs, ts = [], []
+    for i in range(n_cams):
+        R, t = look_at(eyes[i], eyes[i] + fwd[i])
+        Rs.append(R)
+        ts.append(t)
+    Rs = np.stack(Rs)
+    ts = np.stack(ts)
+
+    # each landmark anchored ahead of the middle camera of its window
+    c0 = rng.integers(0, n_cams - track_len + 1, size=n_points)
+    mid = c0 + track_len // 2
+    local = np.stack([
+        rng.uniform(-1.5, 1.5, n_points),
+        rng.uniform(-1.5, 1.5, n_points),
+        rng.uniform(6.0, 14.0, n_points),
+    ], axis=1)
+    R_mid = Rs[mid]
+    t_mid = ts[mid]
+    pts = np.einsum("nji,nj->ni", R_mid, local - t_mid)    # R^T (p_cam - t)
+
+    cam_idx = (c0[:, None] + np.arange(track_len)[None, :]).reshape(-1)
+    lm_idx = np.repeat(np.arange(n_points), track_len)
+    p_cam = (np.einsum("nij,nj->ni", Rs[cam_idx], pts[lm_idx])
+             + ts[cam_idx])
+    z = p_cam[:, 2]
+    valid = z > 0.5
+    uv = p_cam[:, :2] / np.where(valid, z, 1.0)[:, None]
+    if pix_noise > 0:
+        uv = uv + rng.normal(size=uv.shape) * pix_noise
+    w = valid.astype(np.float64)
+
+    # drop landmarks that fell below 2 valid observations
+    n_valid = np.bincount(lm_idx, weights=w, minlength=n_points)
+    w = w * (n_valid[lm_idx] >= 2)
+
+    n = cam_idx.shape[0]
+    pad = (-n) % 8
+    obs = BAObservations(
+        cam_idx=jnp.asarray(np.concatenate([cam_idx, np.zeros(pad, np.int64)]),
+                            jnp.int32),
+        lm_idx=jnp.asarray(np.concatenate([lm_idx, np.zeros(pad, np.int64)]),
+                           jnp.int32),
+        uv=jnp.asarray(np.concatenate([uv, np.zeros((pad, 2))]).astype(dtype)),
+        weight=jnp.asarray(np.concatenate([w, np.zeros(pad)]).astype(dtype)),
+    )
+    poses = se3.SE3(jnp.asarray(Rs.astype(dtype)), jnp.asarray(ts.astype(dtype)))
+    return BAScene(poses_true=poses, points_true=jnp.asarray(pts.astype(dtype)),
+                   obs=obs, n_cams=n_cams, n_points=n_points)
+
+
 def perturb_scene(scene, pose_rot_noise=0.05, pose_trans_noise=0.1,
                   point_noise=0.1, seed=10, fix_first=True, fix_last=True):
     """Noisy initialization (sim_data.cpp:273-296): perturb every pose/point;

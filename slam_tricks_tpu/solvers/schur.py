@@ -543,8 +543,10 @@ def solve_ba(poses0, points0, obs, *, fixed_mask=None, max_iters=30,
             # IterationCallback role (st17 solver.hpp:215-245)
             jax.debug.callback(callback, s.it, cost_new, lam_new)
 
+        # a non-finite step is REJECTED (lambda grows via lm_accept), not
+        # terminal: at higher damping the next factorization usually succeeds
         small_step = accept & (jnp.sum(dvec * dvec) < xtol * xtol)
-        done = small_step | bad | ((gtol > 0) & (gnorm < gtol))
+        done = small_step | ((gtol > 0) & (gnorm < gtol))
         return BAState(poses=poses_new, points=points_new, cost=cost_new,
                        lam=lam_new, nu=nu_new, it=s.it + 1, done=done)
 

@@ -310,10 +310,22 @@ def _solve_flat(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask, work,
 
 
 def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
-                  max_iters=30, lambda_init=1e-4, xtol=1e-12):
+                  max_iters=30, lambda_init=1e-4, xtol=1e-12,
+                  pallas_meta=None, pallas_interpret=False,
+                  linear="dense", pcg_work=None, cg_iters=100, cg_tol=1e-6):
     """LM bundle adjustment, flat layout. Same semantics/trajectory as
     schur.solve_ba(linear_solver='dense') — parity-tested. `work` comes from
-    build_flat_work(obs, C, L) (host-built once; visibility is static)."""
+    build_flat_work(obs, C, L) (host-built once; visibility is static).
+
+    pallas_meta: pass the meta dict from ops.pallas_ba.build_pallas_ba_args
+    (with `obs` being the SORTED observations it returns) to linearize +
+    assemble in the fused one-HBM-pass Pallas kernel instead of the XLA flat
+    path; the Schur reduction and LM control are unchanged.
+
+    linear: "dense" materializes + Cholesky-factors the reduced camera system
+    (exact; C up to ~hundreds); "pcg" runs the scatter-free block-tridiagonal
+    PCG of solvers/pcg_flat.py (large C) — pass
+    pcg_work=pcg_flat.build_pcg_work(obs, C)."""
     n_cams = poses0.t.shape[0]
     n_points = points0.shape[0]
     dtype = points0.dtype
@@ -333,10 +345,24 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
         return (~s.done) & (s.it < max_iters)
 
     def body(s):
-        Hpp_flat, gp, Hll_flat, gl, W, _ = _iteration_quantities(
-            s.poses, s.points, obs, work, C, L)
-        dp, dl, diag_pp, diag_ll = _solve_flat(
-            Hpp_flat, gp, Hll_flat, gl, W, s.lam, fixed_mask, work, C, L)
+        if pallas_meta is not None:
+            from slam_tricks_tpu.ops import pallas_ba
+            Hpp_flat, gp, _, Hll_flat, gl, W = pallas_ba.linearize_assemble(
+                s.poses.R.reshape(C, 9), s.poses.t, s.points, obs,
+                pallas_meta["bases"], n_cams=C, n_points=L,
+                tile=pallas_meta["tile"], w_win=pallas_meta["w_win"],
+                L_pad=pallas_meta["L_pad"], interpret=pallas_interpret)
+        else:
+            Hpp_flat, gp, Hll_flat, gl, W, _ = _iteration_quantities(
+                s.poses, s.points, obs, work, C, L)
+        if linear == "pcg":
+            from slam_tricks_tpu.solvers.pcg_flat import solve_rcs_pcg_flat
+            dp, dl, diag_pp, diag_ll = solve_rcs_pcg_flat(
+                Hpp_flat, gp, Hll_flat, gl, W, obs.lm_idx, s.lam, fixed_mask,
+                work, pcg_work, C, L, cg_iters=cg_iters, cg_tol=cg_tol)
+        else:
+            dp, dl, diag_pp, diag_ll = _solve_flat(
+                Hpp_flat, gp, Hll_flat, gl, W, s.lam, fixed_mask, work, C, L)
 
         bad = jnp.any(~jnp.isfinite(dp)) | jnp.any(~jnp.isfinite(dl))
         dp_s = jnp.where(bad, jnp.zeros_like(dp), dp)
@@ -358,7 +384,7 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
             poses=jax.tree_util.tree_map(sel, poses_try, s.poses),
             points=sel(points_try, s.points),
             cost=sel(cost_try, s.cost), lam=lam_new, nu=nu_new, it=s.it + 1,
-            done=(accept & (step_sq < xtol * xtol)) | bad)
+            done=accept & (step_sq < xtol * xtol))
 
     return jax.lax.while_loop(cond, body, state)
 
