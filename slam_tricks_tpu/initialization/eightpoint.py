@@ -28,7 +28,7 @@ def hartley_normalize(pts):
     return centered * scale, T
 
 
-def fundamental_8pt(p1, p2, weights=None):
+def fundamental_8pt(p1, p2, weights=None, return_ok=False):
     """F from >=8 correspondences (pixels or normalized coords), Hartley
     normalized, rank-2 projected. p1/p2 (N,2). Returns F (3,3), ||F||=1."""
     n1, T1 = hartley_normalize(p1)
@@ -39,13 +39,25 @@ def fundamental_8pt(p1, p2, weights=None):
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=1)
     if weights is not None:
         A = A * weights[:, None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    _, sv, Vt = jnp.linalg.svd(A, full_matrices=True)
     F = Vt[-1].reshape(3, 3)
     # rank-2 projection
     U, S, Vt2 = jnp.linalg.svd(F)
     F = (U * jnp.stack([S[0], S[1], jnp.zeros_like(S[2])])[None, :]) @ Vt2
     F = T2.T @ F @ T1
-    return F / jnp.linalg.norm(F)
+    F = F / jnp.maximum(jnp.linalg.norm(F), 1e-30)
+    # masked degeneracy fallback (SURVEY §7 "SVD differentiability/edge
+    # cases"; the reference bails via std::optional,
+    # two_view_geometry.cpp:77-80): a unique null space needs the 8th singular
+    # value well above the 9th — coplanar/pure-rotation/duplicate-point
+    # configurations violate it. Degenerate inputs return identity-like F
+    # with ok=False instead of NaN garbage.
+    ok = (jnp.all(jnp.isfinite(F))
+          & (sv[7] > 1e3 * jnp.finfo(A.dtype).eps * sv[0]))
+    F = jnp.where(ok, F, jnp.eye(3, dtype=F.dtype))
+    if return_ok:
+        return F, ok
+    return F
 
 
 def essential_from_fundamental(F, K1, K2=None):
@@ -55,14 +67,17 @@ def essential_from_fundamental(F, K1, K2=None):
     return E / jnp.linalg.norm(E)
 
 
-def essential_8pt(p1_norm, p2_norm, weights=None):
+def essential_8pt(p1_norm, p2_norm, weights=None, return_ok=False):
     """E directly from normalized-plane correspondences, with the (1,1,0)
-    singular-value projection."""
-    F = fundamental_8pt(p1_norm, p2_norm, weights)
+    singular-value projection. return_ok=True adds the degeneracy flag."""
+    F, ok = fundamental_8pt(p1_norm, p2_norm, weights, return_ok=True)
     U, S, Vt = jnp.linalg.svd(F)
     one = jnp.ones_like(S[0])
     E = (U * jnp.stack([one, one, jnp.zeros_like(S[2])])[None, :]) @ Vt
-    return E / jnp.linalg.norm(E)
+    E = E / jnp.maximum(jnp.linalg.norm(E), 1e-30)
+    if return_ok:
+        return E, ok
+    return E
 
 
 def decompose_essential(E):
@@ -93,7 +108,13 @@ def triangulate_midpoint(R, t, p1, p2):
     A = jnp.concatenate([so3.hat(x1) @ P1, so3.hat(x2) @ P2], axis=0)  # (6,4)
     _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
     Xh = Vt[-1]
-    X = Xh[:3] / Xh[3]
+    # near-parallel rays put the point at infinity (Xh[3] -> 0); clamp the
+    # homogeneous divide so the result stays finite and FAILS the cheirality
+    # depth gates instead of poisoning downstream math with inf/NaN
+    w_h = Xh[3]
+    w_safe = jnp.where(jnp.abs(w_h) > 1e-12, w_h,
+                       jnp.where(w_h < 0, -1e-12, 1e-12))
+    X = Xh[:3] / w_safe
     d1 = X[2]
     d2 = (R @ X + t)[2]
     return X, d1, d2
@@ -109,7 +130,8 @@ def recover_pose(E, p1, p2, weights=None):
 
     def score(R, t):
         X, d1, d2 = jax.vmap(lambda a, b: triangulate_midpoint(R, t, a, b))(p1, p2)
-        good = (d1 > 0) & (d2 > 0)
+        good = (d1 > 0) & (d2 > 0) & jnp.all(jnp.isfinite(X), axis=1)
+        X = jnp.where(good[:, None], X, 0.0)
         return jnp.sum(good * w), X
 
     scores, Xs = jax.vmap(score)(Rs, ts)

@@ -38,8 +38,9 @@ _IJ3 = [(i, j) for i in range(3) for j in range(i, 3)]
 
 
 def _kernel(w_win,               # python int (bound via partial)
+            n_cams,              # python int (bound via partial)
             base_ref,            # scalar prefetch: (n_tiles,) window bases
-            rn_ref, tn_ref, pn_ref, uv_ref, sw_ref, lml_ref, cam_oh_ref,
+            rn_ref, tn_ref, pn_ref, uv_ref, sw_ref, lml_ref, caml_ref,
             w_ref, cam_out_ref, lm_out_ref,
             lm_acc):             # scratch: (L_pad, 16) VMEM accumulator
     T = rn_ref.shape[0]
@@ -90,8 +91,11 @@ def _kernel(w_win,               # python int (bound via partial)
     cam_cols += [dot2(jp0[i], jp1[i], r0, r1) for i in range(6)]
     cam_cols += [0.5 * (r0 * r0 + r1 * r1)]
     cam_stack = jnp.stack(cam_cols, axis=1)                     # (T, 28)
+    # one-hot built in-kernel from the index column (no (N,C) HBM array)
+    cam_ids = jax.lax.broadcasted_iota(jnp.int32, (T, n_cams), 1)
+    cam_oh = (cam_ids == caml_ref[:, 0][:, None]).astype(acc_t)
     cam_out_ref[:] += jax.lax.dot_general(
-        cam_oh_ref[:], cam_stack, (((0,), (0,)), ((), ())),
+        cam_oh, cam_stack, (((0,), (0,)), ((), ())),
         preferred_element_type=acc_t)                           # (C, 28)
 
     # landmark-side 9 columns -> windowed one-hot MXU reduce
@@ -169,7 +173,7 @@ def linearize_assemble(poses_Rflat, poses_t, points, obs, bases, *, n_cams,
     pn = points[obs.lm_idx]
     sw = jnp.sqrt(obs.weight)[:, None]
     lml = obs.lm_idx[:, None].astype(jnp.int32)
-    cam_oh = jax.nn.one_hot(obs.cam_idx, C, dtype=dtype)
+    caml = obs.cam_idx[:, None].astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -181,7 +185,7 @@ def linearize_assemble(poses_Rflat, poses_t, points, obs, bases, *, n_cams,
             pl.BlockSpec((tile, 2), lambda i, b: (i, 0)),
             pl.BlockSpec((tile, 1), lambda i, b: (i, 0)),
             pl.BlockSpec((tile, 1), lambda i, b: (i, 0)),
-            pl.BlockSpec((tile, C), lambda i, b: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, b: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((tile, 18), lambda i, b: (i, 0)),
@@ -191,7 +195,7 @@ def linearize_assemble(poses_Rflat, poses_t, points, obs, bases, *, n_cams,
         scratch_shapes=[pltpu.VMEM((L_pad, 16), dtype)],
     )
     W, cam_red, lm_red = pl.pallas_call(
-        functools.partial(_kernel, w_win),
+        functools.partial(_kernel, w_win, C),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((N, 18), dtype),
@@ -199,7 +203,7 @@ def linearize_assemble(poses_Rflat, poses_t, points, obs, bases, *, n_cams,
             jax.ShapeDtypeStruct((L_pad, 16), dtype),
         ],
         interpret=interpret,
-    )(bases, Rn, tn, pn, obs.uv, sw, lml, cam_oh)
+    )(bases, Rn, tn, pn, obs.uv, sw, lml, caml)
     # keep XLA's memory-space assignment from promoting the full (N,18) W
     # (43 MB physical after (8,128) lane padding) into scoped VMEM when this
     # runs inside a while_loop body — observed as a compile-time VMEM OOM

@@ -47,6 +47,25 @@ def timed(tag="block", out=None, log=None):
         print(msg)
 
 
+@contextmanager
+def profile_trace(log_dir, *, host_profiler=False):
+    """jax.profiler trace context (SURVEY §5 tracing/profiling): wraps the
+    body in `jax.profiler.trace(log_dir)` so device timelines land in
+    TensorBoard/XProf format under log_dir. Usage:
+
+        with profile_trace("/tmp/trace"):
+            out = solve(...); jax.block_until_ready(out)
+    """
+    with jax.profiler.trace(log_dir, create_perfetto_link=False,
+                            create_perfetto_trace=host_profiler):
+        yield
+
+
+def annotate(name):
+    """Named region for profiler timelines (TraceAnnotation role)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
 def time_fn(fn, *args, warmup=1, reps=5):
     """Compile-then-time a jitted callable; returns (best_seconds, result)."""
     result = None
