@@ -267,10 +267,11 @@ def build_track_table(cam_idx, lm_idx, weight=None, *, n_points=None,
     mask = np.zeros((L, K), dtype)
     starts = np.zeros(L + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
-    for l in range(L):
-        s, e = starts[l], starts[l + 1]
-        obs_idx[l, :e - s] = order[s:e]
-        mask[l, :e - s] = 1
+    # vectorized fill: each sorted obs lands at (its landmark, its rank
+    # within the track)
+    slot = np.arange(lm_sorted.shape[0]) - starts[lm_sorted]
+    obs_idx[lm_sorted, slot] = order
+    mask[lm_sorted, slot] = 1
     return TrackTable(obs_idx=jnp.asarray(obs_idx), mask=jnp.asarray(mask))
 
 
@@ -362,13 +363,18 @@ def build_track_pairs(cam_idx, lm_idx, *, chunk=65536, dtype=np.float32):
     # track segment boundaries in the sorted order
     starts = np.flatnonzero(np.r_[True, lm_sorted[1:] != lm_sorted[:-1]])
     ends = np.r_[starts[1:], lm_sorted.shape[0]]
+    lengths = ends - starts
+    # vectorized pair enumeration, bucketed by track length (few distinct
+    # lengths; avoids a Python loop over 10^5+ tracks)
     a_list, b_list = [], []
-    for s, e in zip(starts, ends):
-        idx = order[s:e]
-        k = e - s
-        ii, jj = np.triu_indices(k)
-        a_list.append(idx[ii])
-        b_list.append(idx[jj])
+    for k in np.unique(lengths):
+        if k == 0:
+            continue
+        tr = np.flatnonzero(lengths == k)
+        M = order[starts[tr][:, None] + np.arange(k)[None, :]]
+        ii, jj = np.triu_indices(int(k))
+        a_list.append(M[:, ii].ravel())
+        b_list.append(M[:, jj].ravel())
     pa = np.concatenate(a_list) if a_list else np.zeros(0, np.int32)
     pb = np.concatenate(b_list) if b_list else np.zeros(0, np.int32)
     pw = np.where(pa == pb, 0.5, 1.0).astype(dtype)

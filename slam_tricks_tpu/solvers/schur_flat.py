@@ -156,23 +156,48 @@ class FlatWork(NamedTuple):
     """Static per-problem index structure for the flat solver."""
     table: TrackTable          # (L, K) track table
     cam_of_track: jnp.ndarray  # (L, K) int32 camera of each track slot
-    oh_c: jnp.ndarray          # (N, C) one-hot of cam_idx (f32/f64)
+    oh_c: jnp.ndarray          # (N, C) one-hot of cam_idx, or None (large C)
+    cam_table: jnp.ndarray     # (C, Kc) int32 obs per camera, or None
+    cam_mask: jnp.ndarray      # (C, Kc), or None
 
 
-def build_flat_work(obs, n_cams, n_points, dtype=np.float32):
-    """Host-side: track table + per-slot camera index + camera one-hot."""
+def build_flat_work(obs, n_cams, n_points, dtype=np.float32,
+                    use_cam_table=None):
+    """Host-side: track table + per-slot camera index + the camera-side
+    reduction structure. Small C uses a dense (N, C) one-hot (ONE MXU matmul
+    per reduction); large C switches to a (C, Kc) camera gather table — the
+    one-hot would be O(N*C) memory (6.5 GB at N=1.6M, C=1024).
+    use_cam_table=None -> auto (C > 128)."""
     from slam_tricks_tpu.solvers.schur import build_track_table
 
     table = build_track_table(obs.cam_idx, obs.lm_idx, obs.weight,
                               n_points=n_points, dtype=dtype)
     cam_np = np.asarray(obs.cam_idx)
     cam_of_track = jnp.asarray(cam_np[np.asarray(table.obs_idx)])
-    oh = (np.asarray(obs.cam_idx)[:, None]
-          == np.arange(n_cams)[None, :]).astype(dtype)
+    if use_cam_table is None:
+        use_cam_table = n_cams > 128
+    if use_cam_table:
+        w = np.asarray(obs.weight)
+        valid = np.flatnonzero(w > 0)
+        order = valid[np.argsort(cam_np[valid], kind="stable")]
+        counts = np.bincount(cam_np[order], minlength=n_cams)
+        Kc = int(counts.max()) if counts.size else 1
+        Kc = Kc + (-Kc) % 8
+        cam_table = np.zeros((n_cams, Kc), np.int32)
+        cam_mask = np.zeros((n_cams, Kc), dtype)
+        starts = np.zeros(n_cams + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.arange(order.shape[0]) - starts[cam_np[order]]
+        cam_table[cam_np[order], slot] = order
+        cam_mask[cam_np[order], slot] = 1
+        return FlatWork(table=table, cam_of_track=cam_of_track, oh_c=None,
+                        cam_table=jnp.asarray(cam_table),
+                        cam_mask=jnp.asarray(cam_mask))
+    oh = (cam_np[:, None] == np.arange(n_cams)[None, :]).astype(dtype)
     # padding rows (weight 0) contribute zero to every reduction because all
-    # per-obs quantities below are pre-weighted by sqrt(weight) = 0
+    # per-obs quantities are pre-weighted by sqrt(weight) = 0
     return FlatWork(table=table, cam_of_track=cam_of_track,
-                    oh_c=jnp.asarray(oh))
+                    oh_c=jnp.asarray(oh), cam_table=None, cam_mask=None)
 
 
 def _iteration_quantities(poses, points, obs, work, n_cams, n_points):
@@ -186,15 +211,21 @@ def _iteration_quantities(poses, points, obs, work, n_cams, n_points):
     (r0, r1), (jp0, jp1), (jl0, jl1) = _linearize_flat(
         R_flat, poses.t, points, cam_idx, lm_idx, uv, sw)
 
-    # ---- camera-side reduction: ONE (C,N)x(N,27+) MXU matmul ----
+    # ---- camera-side reduction ----
     # columns: 21 upper-tri of Jp^T Jp, 6 of Jp^T r, 1 of 0.5 r^2 (cost)
     cols = [_dot2(jp0[i], jp1[i], jp0[j], jp1[j]) for (i, j) in _IJ6]
     cols += [_dot2(jp0[i], jp1[i], r0, r1) for i in range(6)]
     cols += [0.5 * (r0 * r0 + r1 * r1)]
     cam_stack = jnp.stack(cols, axis=1)                           # (N, 28)
-    cam_red = jax.lax.dot_general(work.oh_c, cam_stack,
-                                  (((0,), (0,)), ((), ())),
-                                  precision=HIGHEST)              # (C, 28)
+    if work.oh_c is not None:
+        # small C: ONE (C,N)x(N,28) MXU matmul
+        cam_red = jax.lax.dot_general(work.oh_c, cam_stack,
+                                      (((0,), (0,)), ((), ())),
+                                      precision=HIGHEST)          # (C, 28)
+    else:
+        # large C: camera-table gather + masked sum (O(N) memory)
+        cam_red = jnp.sum(cam_stack[work.cam_table]
+                          * work.cam_mask[..., None], axis=1)     # (C, 28)
     Hpp_flat = cam_red[:, :21]
     gp = cam_red[:, 21:27]
     cost = jnp.sum(cam_red[:, 27])
@@ -217,9 +248,13 @@ def _iteration_quantities(poses, points, obs, work, n_cams, n_points):
 
 
 def _solve_flat(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask, work,
-                n_cams, n_points):
+                n_cams, n_points, chol_backend="xla"):
     """Damped Schur solve from flat blocks. Returns (dp (C,6), dl (L,3),
-    diag terms for the gain ratio)."""
+    diag terms for the gain ratio).
+
+    chol_backend: "xla" uses jax.scipy cho_factor/cho_solve; "pallas" uses the
+    fused single-kernel factor+substitute of ops/pallas_chol.py
+    ("pallas_interpret" for CPU testing)."""
     dtype = gp.dtype
     C, L = n_cams, n_points
     K = work.table.obs_idx.shape[1]
@@ -294,8 +329,14 @@ def _solve_flat(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask, work,
     S = S + eye_c * (fixed_mask.astype(dtype)[:, None, None, None]
                      * jnp.eye(6, dtype=dtype)[None, :, None, :])
     b = b * free[:, None]
-    cf = jax.scipy.linalg.cho_factor(S.reshape(C * 6, C * 6), lower=True)
-    dp = jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
+    if chol_backend.startswith("pallas"):
+        from slam_tricks_tpu.ops.pallas_chol import chol_solve
+        dp = chol_solve(S.reshape(C * 6, C * 6), b.reshape(C * 6),
+                        interpret=chol_backend.endswith("interpret"))
+        dp = dp.reshape(C, 6)
+    else:
+        cf = jax.scipy.linalg.cho_factor(S.reshape(C * 6, C * 6), lower=True)
+        dp = jax.scipy.linalg.cho_solve(cf, b.reshape(C * 6)).reshape(C, 6)
 
     # back-substitution: dl = Hll^-1 (-gl - W^T dp) via track gathers
     dp_t = dp[work.cam_of_track]                                   # (L,K,6)
@@ -312,7 +353,8 @@ def _solve_flat(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask, work,
 def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
                   max_iters=30, lambda_init=1e-4, xtol=1e-12,
                   pallas_meta=None, pallas_interpret=False,
-                  linear="dense", pcg_work=None, cg_iters=100, cg_tol=1e-6):
+                  linear="dense", pcg_work=None, cg_iters=100, cg_tol=1e-6,
+                  chol_backend="xla"):
     """LM bundle adjustment, flat layout. Same semantics/trajectory as
     schur.solve_ba(linear_solver='dense') — parity-tested. `work` comes from
     build_flat_work(obs, C, L) (host-built once; visibility is static).
@@ -356,7 +398,7 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
                 fixed_mask, work, pcg_work, C, L, cg_iters=cg_iters,
                 cg_tol=cg_tol)
         return _solve_flat(Hpp_flat, gp, list(Hll_flat), gl, W, lam,
-                           fixed_mask, work, C, L)
+                           fixed_mask, work, C, L, chol_backend=chol_backend)
 
     # the state carries the CURRENT point's blocks: each iteration linearizes
     # once (at the trial point — the evaluation doubles as the trial-cost
