@@ -81,10 +81,13 @@ def _kernel(w_win,               # python int (bound via partial)
 
     dot2 = lambda a0, a1, b0, b1: a0 * b0 + a1 * b1
 
-    # W out (T, 18), row-major (6,3)
+    # W out, TRANSPOSED (18, T) row-major (6,3): the (N,18) layout tiles to
+    # (8,128) with 18 lanes padded to 128 (43 MB physical at N=84k) and XLA's
+    # memory-space assignment then stack-allocates the result in VMEM and
+    # OOMs; (18, N) is 24xN physical (~8 MB) and streams cleanly
     w_cols = [dot2(jp0[i], jp1[i], jl0[j], jl1[j])
               for i in range(6) for j in range(3)]
-    w_ref[:] = jnp.stack(w_cols, axis=1)
+    w_ref[:] = jnp.stack(w_cols, axis=0)
 
     # camera-side 28 columns -> MXU reduce with the one-hot tile
     cam_cols = [dot2(jp0[i], jp1[i], jp0[j], jp1[j]) for (i, j) in _IJ6]
@@ -188,26 +191,25 @@ def linearize_assemble(poses_Rflat, poses_t, points, obs, bases, *, n_cams,
             pl.BlockSpec((tile, 1), lambda i, b: (i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tile, 18), lambda i, b: (i, 0)),
+            pl.BlockSpec((18, tile), lambda i, b: (0, i)),
             pl.BlockSpec((C, 28), lambda i, b: (0, 0)),
             pl.BlockSpec((L_pad, 16), lambda i, b: (0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((L_pad, 16), dtype)],
     )
-    W, cam_red, lm_red = pl.pallas_call(
+    W_T, cam_red, lm_red = pl.pallas_call(
         functools.partial(_kernel, w_win, C),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((N, 18), dtype),
+            jax.ShapeDtypeStruct((18, N), dtype),
             jax.ShapeDtypeStruct((C, 28), dtype),
             jax.ShapeDtypeStruct((L_pad, 16), dtype),
         ],
         interpret=interpret,
     )(bases, Rn, tn, pn, obs.uv, sw, lml, caml)
-    # keep XLA's memory-space assignment from promoting the full (N,18) W
-    # (43 MB physical after (8,128) lane padding) into scoped VMEM when this
-    # runs inside a while_loop body — observed as a compile-time VMEM OOM
-    W, cam_red, lm_red = jax.lax.optimization_barrier((W, cam_red, lm_red))
+    W_T, cam_red, lm_red = jax.lax.optimization_barrier(
+        (W_T, cam_red, lm_red))
+    W = W_T.T    # (N,18) HBM layout for the downstream track gathers
 
     Hpp_flat = cam_red[:, :21]
     gp = cam_red[:, 21:27]

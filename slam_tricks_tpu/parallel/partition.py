@@ -98,12 +98,17 @@ def build_local_pairs(obs_part, n_devices, *, chunk=65536, dtype=np.float32):
             ends = np.r_[starts[1:], lm_sorted.shape[0]]
         else:
             starts = ends = np.zeros(0, np.int64)
+        lengths = ends - starts
+        # vectorized pair enumeration, bucketed by track length
         a_list, b_list = [], []
-        for s, e in zip(starts, ends):
-            idx = order[s:e]
-            ii, jj = np.triu_indices(e - s)
-            a_list.append(idx[ii])
-            b_list.append(idx[jj])
+        for k in np.unique(lengths):
+            if k == 0:
+                continue
+            tr = np.flatnonzero(lengths == k)
+            M = order[starts[tr][:, None] + np.arange(k)[None, :]]
+            ii, jj = np.triu_indices(int(k))
+            a_list.append(M[:, ii].ravel())
+            b_list.append(M[:, jj].ravel())
         pa = np.concatenate(a_list) if a_list else np.zeros(0, np.int32)
         pb = np.concatenate(b_list) if b_list else np.zeros(0, np.int32)
         pw = np.where(pa == pb, 0.5, 1.0).astype(dtype)

@@ -68,31 +68,30 @@ def build_pcg_work(obs, n_cams, dtype=np.float32):
         cam_table[c, :e - s] = order[s:e]
         cam_mask[c, :e - s] = 1
 
-    # adjacency: per landmark track, obs pairs on cameras (c+1, c)
-    order_l = valid[np.argsort(lm_idx[valid], kind="stable")]
-    lm_sorted = lm_idx[order_l]
-    tstarts = np.flatnonzero(np.r_[True, lm_sorted[1:] != lm_sorted[:-1]])
-    tends = np.r_[tstarts[1:], lm_sorted.shape[0]]
-    per_c = [[] for _ in range(max(C - 1, 1))]
-    for s, e in zip(tstarts, tends):
-        idx = order_l[s:e]
-        cams = cam_idx[idx]
-        o = np.argsort(cams, kind="stable")
-        idx, cams = idx[o], cams[o]
-        # consecutive cameras in the sorted track
-        for i in range(len(idx) - 1):
-            if cams[i + 1] == cams[i] + 1:
-                per_c[cams[i]].append((idx[i + 1], idx[i]))
-    Ka = max((len(p) for p in per_c), default=1)
+    # adjacency: per landmark track, obs pairs on cameras (c+1, c) —
+    # vectorized: lexsort by (landmark, camera); consecutive sorted entries
+    # with same landmark and camera gap 1 are exactly the sub-diagonal pairs
+    order_l = valid[np.lexsort((cam_idx[valid], lm_idx[valid]))]
+    lm_s = lm_idx[order_l]
+    cam_s = cam_idx[order_l]
+    is_adj = (lm_s[1:] == lm_s[:-1]) & (cam_s[1:] == cam_s[:-1] + 1)
+    pa = order_l[1:][is_adj]          # obs at camera c+1
+    pb = order_l[:-1][is_adj]         # obs at camera c
+    cb = cam_s[:-1][is_adj]           # = c
+    rows = max(C - 1, 1)
+    counts = np.bincount(cb, minlength=rows)
+    Ka = max(int(counts.max()) if counts.size else 1, 1)
     Ka = max(Ka + (-Ka) % 8, 8)
-    adj_a = np.zeros((max(C - 1, 1), Ka), np.int32)
-    adj_b = np.zeros((max(C - 1, 1), Ka), np.int32)
-    adj_mask = np.zeros((max(C - 1, 1), Ka), dtype)
-    for c, plist in enumerate(per_c):
-        for k, (a, b) in enumerate(plist):
-            adj_a[c, k] = a
-            adj_b[c, k] = b
-            adj_mask[c, k] = 1
+    adj_a = np.zeros((rows, Ka), np.int32)
+    adj_b = np.zeros((rows, Ka), np.int32)
+    adj_mask = np.zeros((rows, Ka), dtype)
+    o2 = np.argsort(cb, kind="stable")
+    starts = np.zeros(rows + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(o2.shape[0]) - starts[cb[o2]]
+    adj_a[cb[o2], slot] = pa[o2]
+    adj_b[cb[o2], slot] = pb[o2]
+    adj_mask[cb[o2], slot] = 1
     return PCGWork(cam_table=jnp.asarray(cam_table),
                    cam_mask=jnp.asarray(cam_mask),
                    lm_of_cam=jnp.asarray(lm_idx[cam_table]),
