@@ -54,8 +54,10 @@ def bench_ba(detail):
         scene = make_scene(n_per_wall=400, n_cams=96, seed=0, dtype=dtype)
     poses0, points0, fixed = perturb_scene(scene, seed=1)
     C, L = scene.n_cams, scene.n_points
-    obs_s, meta = pallas_ba.build_pallas_ba_args(scene.obs, L,
-                                                 tile=256 if SMOKE else 1024)
+    # tile=256: Mosaic compile time scales superlinearly with the obs tile
+    # (256 -> 56 s, 512 -> 175 s, 1024 -> >10 min); 256 is also the measured
+    # fastest at this scale
+    obs_s, meta = pallas_ba.build_pallas_ba_args(scene.obs, L, tile=256)
     work = schur_flat.build_flat_work(obs_s, C, L, dtype=dtype)
     n_obs = int(np.sum(np.asarray(obs_s.weight) > 0))
     K = work.table.obs_idx.shape[1]
@@ -65,20 +67,33 @@ def bench_ba(detail):
     dt_xla, out = _timeit(lambda: solve(poses0, points0, obs_s, work,
                                         fixed_mask=fixed, max_iters=max_iters))
     iters = int(out.it)
-    solve_p = jax.jit(lambda p, x, o, w, f: schur_flat.solve_ba_flat(
-        p, x, o, w, fixed_mask=f, max_iters=max_iters, pallas_meta=meta,
-        pallas_interpret=SMOKE))
-    try:
-        dt_pal, out_p = _timeit(lambda: solve_p(poses0, points0, obs_s, work,
-                                                fixed))
-    except Exception as e:   # record, never lose the headline to a kernel bug
-        detail["pallas_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-        dt_pal, out_p = float("inf"), out
+    chol_be = "pallas_interpret" if SMOKE else "pallas"
+    variants = {
+        "pallas-linasm": lambda p, x, o, w, f: schur_flat.solve_ba_flat(
+            p, x, o, w, fixed_mask=f, max_iters=max_iters, pallas_meta=meta,
+            pallas_interpret=SMOKE),
+        "pallas-chol": lambda p, x, o, w, f: schur_flat.solve_ba_flat(
+            p, x, o, w, fixed_mask=f, max_iters=max_iters,
+            chol_backend=chol_be),
+        "pallas-full": lambda p, x, o, w, f: schur_flat.solve_ba_flat(
+            p, x, o, w, fixed_mask=f, max_iters=max_iters, pallas_meta=meta,
+            pallas_interpret=SMOKE, chol_backend=chol_be),
+    }
+    results = {"xla-flat": (dt_xla, out)}
+    for name, fn in variants.items():
+        try:
+            jfn = jax.jit(fn)
+            results[name] = _timeit(
+                lambda: jfn(poses0, points0, obs_s, work, fixed))
+        except Exception as e:  # record, never lose the headline to a kernel bug
+            detail[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # fastest path is the headline
-    best_dt, best, which = ((dt_pal, out_p, "pallas")
-                            if dt_pal < dt_xla else (dt_xla, out, "xla-flat"))
+    which = min(results, key=lambda k: results[k][0])
+    best_dt, best = results[which]
     iters_per_s = int(best.it) / best_dt
+    detail["variant_iters_per_s"] = {
+        k: round(int(v[1].it) / v[0], 2) for k, v in results.items()}
 
     # ---- per-stage breakdown (amortized K-loop inside one jit: the tunnel
     # adds ~25-70 ms per dispatch) ----
@@ -112,6 +127,12 @@ def bench_ba(detail):
                                              lam, fixed, work, C, L)
         return dp[0, 0]
 
+    def stage_solve_pal(i):
+        dp, _, _, _ = schur_flat._solve_flat(Hf, gpf + 0.0 * i, Hlf, glf, Wf,
+                                             lam, fixed, work, C, L,
+                                             chol_backend=chol_be)
+        return dp[0, 0]
+
     def stage_cost(i):
         return schur_flat._cost_flat(poses0.R.reshape(C, 9), poses0.t,
                                      points0 + 0.0 * i, obs_s.cam_idx,
@@ -121,6 +142,7 @@ def bench_ba(detail):
     for name, fn in (("linearize_assemble_ms", stage_lin),
                      ("linearize_assemble_pallas_ms", stage_lin_pal),
                      ("schur_solve_ms", stage_solve),
+                     ("schur_solve_pallas_chol_ms", stage_solve_pal),
                      ("cost_eval_ms", stage_cost)):
         try:
             dt, _ = _timeit(loop_jit(fn), jnp.zeros((), dtype))
@@ -151,7 +173,6 @@ def bench_ba(detail):
         "ms_per_iter": round(it_ms, 3),
         "headline_path": which,
         "xla_flat_iters_per_s": round(iters / dt_xla, 2),
-        "pallas_iters_per_s": round(int(out_p.it) / dt_pal, 2),
         "stages": stages,
         "flops_per_iter": flops,
         "achieved_tflops": round(achieved_tflops, 3),

@@ -6,23 +6,30 @@ Per obs tile (T rows, staged in VMEM):
   residual + analytic Jacobian columns (VPU, unrolled — the hand derivation of
   st17-ceres/src/include/solver.hpp:176-199 in flat columns)
   -> 28 camera-side columns  [21 upper-tri JpTJp | 6 JpTr | 0.5 r^2]
-     reduced by ONE (C,T)x(T,28) MXU matmul into a VMEM accumulator
+     reduced by ONE (T,C)x(32,T) MXU contraction into a VMEM accumulator
   -> 9 landmark-side columns [6 upper-tri JlTJl | 3 JlTr]
-     reduced by a WINDOWED (WL,T)x(T,9) MXU matmul accumulated into a
+     reduced by a WINDOWED (T,WL)x(16,T) MXU contraction accumulated into a
      VMEM-resident (L,16) scratch at a per-tile dynamic offset (observations
      are sorted by landmark, so each tile touches a bounded landmark window;
      the per-tile window bases arrive via scalar prefetch)
-  -> W = Jp^T Jl (T,18) written straight out (needed downstream by the Schur
-     reduction)
+  -> W = Jp^T Jl written straight out as 18 (1,T) row stores into a (18,N)
+     output (needed downstream by the Schur reduction)
 
-Inputs are pre-gathered flat arrays (XLA gathers run at memory speed; the
-kernel removes the padded-tiny-tile intermediates and scatters that dominated
-the block-shaped implementation).
+VMEM discipline (the first on-chip attempt OOMed the 16 MB scoped budget at
+35.6 MB):
+  - inputs are PACKED host-side into one (N,18) f32 feature array and one
+    (N,2) i32 index array — seven separate narrow inputs each pad their lane
+    dim to 128 (524 KB/block instead of ~74 KB, double-buffered);
+  - the per-column reduction stacks are built by ROW STORES into transposed
+    VMEM scratch (32,T)/(16,T) — jnp.stack of k (T,1) columns materializes k
+    524 KB lane-padded vectors AND lowers to a tpu.concatenate that Mosaic
+    rejects ("result/input offset mismatch on non-concat dimension");
+  - reduced outputs are (C,32)/(L_pad,16) and cropped OUTSIDE the kernel.
 
 Limits: obs must be sorted by lm_idx (build_pallas_ba_args does this and
-computes the window size); the (L,16) landmark accumulator is VMEM-resident,
-bounding L to ~30k per kernel launch — beyond that, shard landmarks over
-launches (the bench/production scenes are well inside)."""
+computes the window size); the (L_pad,16) landmark accumulator is
+VMEM-resident, bounding L to ~20k per kernel launch — beyond that, shard
+landmarks over launches (the bench/production scenes are well inside)."""
 
 import functools
 
@@ -40,10 +47,13 @@ _IJ3 = [(i, j) for i in range(3) for j in range(i, 3)]
 def _kernel(w_win,               # python int (bound via partial)
             n_cams,              # python int (bound via partial)
             base_ref,            # scalar prefetch: (n_tiles,) window bases
-            rn_ref, tn_ref, pn_ref, uv_ref, sw_ref, lml_ref, caml_ref,
+            feat_ref,            # (T, 18): r00..r22 | t0..2 | p0..2 | u v | sw
+            idx_ref,             # (T, 2) i32: lm_idx | cam_idx
             w_ref, cam_out_ref, lm_out_ref,
-            lm_acc):             # scratch: (L_pad, 16) VMEM accumulator
-    T = rn_ref.shape[0]
+            lm_acc,              # scratch: (L_pad, 16) VMEM accumulator
+            cs,                  # scratch: (32, T) camera-column stack
+            ls):                 # scratch: (16, T) landmark-column stack
+    T = feat_ref.shape[0]
     tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     acc_t = lm_acc.dtype
@@ -52,19 +62,21 @@ def _kernel(w_win,               # python int (bound via partial)
     def _():
         cam_out_ref[:] = jnp.zeros_like(cam_out_ref)
         lm_acc[:] = jnp.zeros_like(lm_acc)
+        cs[:] = jnp.zeros_like(cs)   # rows 28..31 stay zero forever
+        ls[:] = jnp.zeros_like(ls)   # rows 9..15 stay zero forever
 
-    r_ = [rn_ref[:, k] for k in range(9)]
-    tn0, tn1, tn2 = tn_ref[:, 0], tn_ref[:, 1], tn_ref[:, 2]
-    px, py, pz = pn_ref[:, 0], pn_ref[:, 1], pn_ref[:, 2]
-    sw = sw_ref[:, 0]
+    r_ = [feat_ref[:, k] for k in range(9)]
+    tn0, tn1, tn2 = feat_ref[:, 9], feat_ref[:, 10], feat_ref[:, 11]
+    px, py, pz = feat_ref[:, 12], feat_ref[:, 13], feat_ref[:, 14]
+    sw = feat_ref[:, 17]
     x = r_[0] * px + r_[1] * py + r_[2] * pz + tn0
     y = r_[3] * px + r_[4] * py + r_[5] * pz + tn1
     z = r_[6] * px + r_[7] * py + r_[8] * pz + tn2
     iz = 1.0 / z
     u = x * iz
     v = y * iz
-    r0 = (u - uv_ref[:, 0]) * sw
-    r1 = (v - uv_ref[:, 1]) * sw
+    r0 = (u - feat_ref[:, 15]) * sw
+    r1 = (v - feat_ref[:, 16]) * sw
 
     sziz = sw * iz
     jl0 = [(r_[j] - u * r_[6 + j]) * sziz for j in range(3)]
@@ -81,38 +93,35 @@ def _kernel(w_win,               # python int (bound via partial)
 
     dot2 = lambda a0, a1, b0, b1: a0 * b0 + a1 * b1
 
-    # W out, TRANSPOSED (18, T) row-major (6,3): the (N,18) layout tiles to
-    # (8,128) with 18 lanes padded to 128 (43 MB physical at N=84k) and XLA's
-    # memory-space assignment then stack-allocates the result in VMEM and
-    # OOMs; (18, N) is 24xN physical (~8 MB) and streams cleanly
-    w_cols = [dot2(jp0[i], jp1[i], jl0[j], jl1[j])
-              for i in range(6) for j in range(3)]
-    w_ref[:] = jnp.stack(w_cols, axis=0)
+    # W out as 18 individual (1,T) row stores (see module docstring)
+    for k, (i, j) in enumerate([(i, j) for i in range(6) for j in range(3)]):
+        w_ref[k, :] = dot2(jp0[i], jp1[i], jl0[j], jl1[j])
 
-    # camera-side 28 columns -> MXU reduce with the one-hot tile
-    cam_cols = [dot2(jp0[i], jp1[i], jp0[j], jp1[j]) for (i, j) in _IJ6]
-    cam_cols += [dot2(jp0[i], jp1[i], r0, r1) for i in range(6)]
-    cam_cols += [0.5 * (r0 * r0 + r1 * r1)]
-    cam_stack = jnp.stack(cam_cols, axis=1)                     # (T, 28)
+    # camera-side 28 columns -> row-stored stack, ONE MXU contraction
+    for k, (i, j) in enumerate(_IJ6):
+        cs[k, :] = dot2(jp0[i], jp1[i], jp0[j], jp1[j])
+    for i in range(6):
+        cs[21 + i, :] = dot2(jp0[i], jp1[i], r0, r1)
+    cs[27, :] = 0.5 * (r0 * r0 + r1 * r1)
     # one-hot built in-kernel from the index column (no (N,C) HBM array)
     cam_ids = jax.lax.broadcasted_iota(jnp.int32, (T, n_cams), 1)
-    cam_oh = (cam_ids == caml_ref[:, 0][:, None]).astype(acc_t)
+    cam_oh = (cam_ids == idx_ref[:, 1][:, None]).astype(acc_t)
     cam_out_ref[:] += jax.lax.dot_general(
-        cam_oh, cam_stack, (((0,), (0,)), ((), ())),
-        preferred_element_type=acc_t)                           # (C, 28)
+        cam_oh, cs[:], (((0,), (1,)), ((), ())),
+        preferred_element_type=acc_t)                           # (C, 32)
 
-    # landmark-side 9 columns -> windowed one-hot MXU reduce
-    lm_cols = [dot2(jl0[i], jl1[i], jl0[j], jl1[j]) for (i, j) in _IJ3]
-    lm_cols += [dot2(jl0[i], jl1[i], r0, r1) for i in range(3)]
-    lm_stack = jnp.stack(lm_cols, axis=1)                       # (T, 9)
+    # landmark-side 9 columns -> row-stored stack, windowed MXU contraction
+    for k, (i, j) in enumerate(_IJ3):
+        ls[k, :] = dot2(jl0[i], jl1[i], jl0[j], jl1[j])
+    for i in range(3):
+        ls[6 + i, :] = dot2(jl0[i], jl1[i], r0, r1)
     base = base_ref[tile]
-    local = lml_ref[:, 0] - base                                # (T,)
+    local = idx_ref[:, 0] - base                                # (T,)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (T, w_win), 1)
     oh = (col_ids == local[:, None]).astype(acc_t)              # (T, w_win)
-    blk = jax.lax.dot_general(oh, lm_stack, (((0,), (0,)), ((), ())),
-                              preferred_element_type=acc_t)     # (w_win, 9)
-    cur = lm_acc[pl.ds(base, w_win), :]
-    lm_acc[pl.ds(base, w_win), :] = cur + jnp.pad(blk, ((0, 0), (0, 7)))
+    blk = jax.lax.dot_general(oh, ls[:], (((0,), (1,)), ((), ())),
+                              preferred_element_type=acc_t)     # (w_win, 16)
+    lm_acc[pl.ds(base, w_win), :] += blk
 
     @pl.when(tile == n_tiles - 1)
     def _():
@@ -170,43 +179,44 @@ def linearize_assemble(poses_Rflat, poses_t, points, obs, bases, *, n_cams,
     n_tiles = N // tile
     dtype = points.dtype
 
-    # pre-gathered flat inputs (XLA gathers; cheap)
-    Rn = poses_Rflat[obs.cam_idx]
-    tn = poses_t[obs.cam_idx]
-    pn = points[obs.lm_idx]
-    sw = jnp.sqrt(obs.weight)[:, None]
-    lml = obs.lm_idx[:, None].astype(jnp.int32)
-    caml = obs.cam_idx[:, None].astype(jnp.int32)
+    # pre-gathered flat inputs (XLA gathers; cheap), PACKED into two arrays so
+    # each kernel input block pads its lane dim to 128 only once
+    feat = jnp.concatenate([
+        poses_Rflat[obs.cam_idx],                 # (N, 9)
+        poses_t[obs.cam_idx],                     # (N, 3)
+        points[obs.lm_idx],                       # (N, 3)
+        obs.uv,                                   # (N, 2)
+        jnp.sqrt(obs.weight)[:, None],            # (N, 1)
+    ], axis=1)
+    idx2 = jnp.stack([obs.lm_idx.astype(jnp.int32),
+                      obs.cam_idx.astype(jnp.int32)], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tile, 9), lambda i, b: (i, 0)),
-            pl.BlockSpec((tile, 3), lambda i, b: (i, 0)),
-            pl.BlockSpec((tile, 3), lambda i, b: (i, 0)),
+            pl.BlockSpec((tile, 18), lambda i, b: (i, 0)),
             pl.BlockSpec((tile, 2), lambda i, b: (i, 0)),
-            pl.BlockSpec((tile, 1), lambda i, b: (i, 0)),
-            pl.BlockSpec((tile, 1), lambda i, b: (i, 0)),
-            pl.BlockSpec((tile, 1), lambda i, b: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((18, tile), lambda i, b: (0, i)),
-            pl.BlockSpec((C, 28), lambda i, b: (0, 0)),
+            pl.BlockSpec((C, 32), lambda i, b: (0, 0)),
             pl.BlockSpec((L_pad, 16), lambda i, b: (0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((L_pad, 16), dtype)],
+        scratch_shapes=[pltpu.VMEM((L_pad, 16), dtype),
+                        pltpu.VMEM((32, tile), dtype),
+                        pltpu.VMEM((16, tile), dtype)],
     )
     W_T, cam_red, lm_red = pl.pallas_call(
         functools.partial(_kernel, w_win, C),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((18, N), dtype),
-            jax.ShapeDtypeStruct((C, 28), dtype),
+            jax.ShapeDtypeStruct((C, 32), dtype),
             jax.ShapeDtypeStruct((L_pad, 16), dtype),
         ],
         interpret=interpret,
-    )(bases, Rn, tn, pn, obs.uv, sw, lml, caml)
+    )(bases, feat, idx2)
     W_T, cam_red, lm_red = jax.lax.optimization_barrier(
         (W_T, cam_red, lm_red))
     W = W_T.T    # (N,18) HBM layout for the downstream track gathers
