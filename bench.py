@@ -48,17 +48,27 @@ def bench_ba(detail):
     from slam_tricks_tpu.solvers import schur_flat
 
     dtype = np.float32
-    if SMOKE:
-        scene = make_scene(n_per_wall=20, n_cams=8, seed=0, dtype=dtype)
-    else:
-        scene = make_scene(n_per_wall=400, n_cams=96, seed=0, dtype=dtype)
-    poses0, points0, fixed = perturb_scene(scene, seed=1)
-    C, L = scene.n_cams, scene.n_points
-    # tile=256: Mosaic compile time scales superlinearly with the obs tile
-    # (256 -> 56 s, 512 -> 175 s, 1024 -> >10 min); 256 is also the measured
-    # fastest at this scale
-    obs_s, meta = pallas_ba.build_pallas_ba_args(scene.obs, L, tile=256)
-    work = schur_flat.build_flat_work(obs_s, C, L, dtype=dtype)
+    # Build the scene and every host-side index table on the CPU backend:
+    # each np.asarray of a device array is a device->host round trip through
+    # the axon relay (measured ~6 min of pure transfer for the C=1024 tables).
+    # One explicit device_put afterwards is the only host->device transfer.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if SMOKE:
+            scene = make_scene(n_per_wall=20, n_cams=8, seed=0, dtype=dtype)
+        else:
+            scene = make_scene(n_per_wall=400, n_cams=96, seed=0, dtype=dtype)
+        poses0_h, points0_h, fixed_h = perturb_scene(scene, seed=1)
+        C, L = scene.n_cams, scene.n_points
+        # tile=256: Mosaic compile time scales superlinearly with the obs tile
+        # (256 -> 56 s, 512 -> 175 s, 1024 -> >10 min); 256 is also the
+        # measured fastest at this scale
+        obs_h, meta = pallas_ba.build_pallas_ba_args(scene.obs, L, tile=256)
+        work_h = schur_flat.build_flat_work(obs_h, C, L, dtype=dtype)
+    dev = jax.devices()[0]
+    poses0, points0, fixed, obs_s, work, bases = jax.device_put(
+        (poses0_h, points0_h, fixed_h, obs_h, work_h, meta["bases"]), dev)
+    meta["bases"] = bases
     n_obs = int(np.sum(np.asarray(obs_s.weight) > 0))
     K = work.table.obs_idx.shape[1]
     max_iters = 20
@@ -178,7 +188,7 @@ def bench_ba(detail):
         "achieved_tflops": round(achieved_tflops, 3),
         "mfu_vs_f32_highest_peak": round(achieved_tflops / peak_tflops, 4),
     })
-    return iters_per_s, scene, poses0, points0, fixed
+    return iters_per_s, scene, poses0_h, points0_h, fixed_h
 
 
 def bench_baseline_cpu(scene, poses0, points0, fixed, detail):
@@ -209,33 +219,40 @@ def bench_large_scale(detail):
     from slam_tricks_tpu.solvers import schur_flat
     from slam_tricks_tpu.solvers.pcg_flat import build_pcg_work
 
+    from slam_tricks_tpu.solvers import schur
+
     dtype = np.float32
-    if SMOKE:
-        scene = make_trajectory_scene(n_cams=32, n_points=500, track_len=6,
-                                      seed=11, dtype=dtype)
-    else:
-        scene = make_trajectory_scene(n_cams=1024, n_points=200_000,
-                                      track_len=8, seed=11, dtype=dtype)
-    poses0, points0, fixed = perturb_scene(
-        scene, pose_rot_noise=0.002, pose_trans_noise=0.01, point_noise=0.01,
-        seed=12)
-    C, L = scene.n_cams, scene.n_points
-    work = schur_flat.build_flat_work(scene.obs, C, L, dtype=dtype)
-    pcgw = build_pcg_work(scene.obs, C, dtype=dtype)
+    # host-side builds on the CPU backend, one device_put (see bench_ba)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if SMOKE:
+            scene = make_trajectory_scene(n_cams=32, n_points=500, track_len=6,
+                                          seed=11, dtype=dtype)
+        else:
+            scene = make_trajectory_scene(n_cams=1024, n_points=200_000,
+                                          track_len=8, seed=11, dtype=dtype)
+        poses0, points0, fixed = perturb_scene(
+            scene, pose_rot_noise=0.002, pose_trans_noise=0.01,
+            point_noise=0.01, seed=12)
+        C, L = scene.n_cams, scene.n_points
+        work = schur_flat.build_flat_work(scene.obs, C, L, dtype=dtype)
+        pcgw = build_pcg_work(scene.obs, C, dtype=dtype)
+        pairs = schur.build_track_pairs(scene.obs.cam_idx, scene.obs.lm_idx,
+                                        dtype=dtype)
+    poses0, points0, fixed, obs, work, pcgw, pairs = jax.device_put(
+        (poses0, points0, fixed, scene.obs, work, pcgw, pairs),
+        jax.devices()[0])
     mi = 5
 
     solve_pcg = jax.jit(lambda p, x, f: schur_flat.solve_ba_flat(
-        p, x, scene.obs, work, fixed_mask=f, max_iters=mi,
+        p, x, obs, work, fixed_mask=f, max_iters=mi,
         linear="pcg", pcg_work=pcgw, cg_iters=50, cg_tol=1e-6))
     dt_pcg, out_pcg = _timeit(lambda: solve_pcg(poses0, points0, fixed), reps=2)
 
     # exact dense flat at C=1024: B is (3L, 6C) — infeasible (>10 GB); the
     # honest dense comparator here is the paired-scan path of solvers/schur
-    from slam_tricks_tpu.solvers import schur
-    pairs = schur.build_track_pairs(scene.obs.cam_idx, scene.obs.lm_idx,
-                                    dtype=dtype)
     solve_dense = jax.jit(lambda p, x, f: schur.solve_ba(
-        p, x, scene.obs, fixed_mask=f, max_iters=mi, linear_solver="paired",
+        p, x, obs, fixed_mask=f, max_iters=mi, linear_solver="paired",
         track_pairs=pairs))
     dt_dense, out_dense = _timeit(lambda: solve_dense(poses0, points0, fixed),
                                   reps=1)
