@@ -57,13 +57,21 @@ def _dot2(a0, a1, b0, b1):
     return a0 * b0 + a1 * b1
 
 
-def _linearize_flat(R_flat, t, points, cam_idx, lm_idx, uv, sw):
+def _linearize_flat(R_flat, t, points, cam_idx, lm_idx, uv, weight,
+                    loss=None):
     """Per-observation residual + Jacobian COLUMNS, all (N,) arrays.
 
-    Returns dict of flat arrays:
-      r (N,2), jp (list of 12: rows [0,:],[1,:] of the (2,6) pose Jacobian),
-      jl (list of 6: rows of the (2,3) point Jacobian) — all pre-weighted.
+    Returns flat arrays:
+      r (2 cols), jp (list of 12: rows [0,:],[1,:] of the (2,6) pose
+      Jacobian), jl (list of 6: rows of the (2,3) point Jacobian) — all
+      pre-weighted — plus the per-observation cost column.
     Tangent ordering [omega, dt] (g2o VertexCamera oplus, test_g2o.h:36-39).
+
+    loss: optional residuals.robust.Loss. The IRLS weight rho'(||d||^2) is
+    folded into sqrt-weight `sw` (one extra multiply — VERDICT r2 item 6) and
+    the cost column becomes 0.5*w*rho(||d||^2), so the fused trial-cost trick
+    of solve_ba_flat keeps working (the Ceres LossFunction role, same scheme
+    as schur.solve_ba: weights evaluated at the linearization point).
     """
     Rn = R_flat[cam_idx]                      # (N,9) rows r00..r22
     tn = t[cam_idx]                           # (N,3)
@@ -76,8 +84,17 @@ def _linearize_flat(R_flat, t, points, cam_idx, lm_idx, uv, sw):
     iz = 1.0 / z
     u = x * iz
     v = y * iz
-    r0 = (u - uv[:, 0]) * sw
-    r1 = (v - uv[:, 1]) * sw
+    d0 = u - uv[:, 0]
+    d1 = v - uv[:, 1]
+    if loss is None:
+        sw = jnp.sqrt(weight)
+        cost_col = 0.5 * weight * (d0 * d0 + d1 * d1)
+    else:
+        sqn = d0 * d0 + d1 * d1
+        sw = jnp.sqrt(weight * loss.weight(sqn))
+        cost_col = 0.5 * weight * loss.rho(sqn)
+    r0 = d0 * sw
+    r1 = d1 * sw
 
     # J_point = head @ R, rows: jl[row][j] = iz*(R[row,j] - {u,v}*R[2,j])
     sziz = sw * iz
@@ -96,7 +113,7 @@ def _linearize_flat(R_flat, t, points, cam_idx, lm_idx, uv, sw):
     jt1 = [zero, sziz, -v * sziz]
     jp0 = jo0 + jt0   # row 0 of (2,6)
     jp1 = jo1 + jt1   # row 1
-    return (r0, r1), (jp0, jp1), (jl0, jl1)
+    return (r0, r1), (jp0, jp1), (jl0, jl1), cost_col
 
 
 def _cost_flat(R_flat, t, points, cam_idx, lm_idx, uv, weight):
@@ -200,22 +217,23 @@ def build_flat_work(obs, n_cams, n_points, dtype=np.float32,
                     oh_c=jnp.asarray(oh), cam_table=None, cam_mask=None)
 
 
-def _iteration_quantities(poses, points, obs, work, n_cams, n_points):
+def _iteration_quantities(poses, points, obs, work, n_cams, n_points,
+                          loss=None):
     """Linearize + assemble, flat. Returns everything the LM step needs."""
     C, L = n_cams, n_points
     dtype = points.dtype
     cam_idx, lm_idx, uv, weight = obs.cam_idx, obs.lm_idx, obs.uv, obs.weight
     R_flat = poses.R.reshape(C, 9)
-    sw = jnp.sqrt(weight)
 
-    (r0, r1), (jp0, jp1), (jl0, jl1) = _linearize_flat(
-        R_flat, poses.t, points, cam_idx, lm_idx, uv, sw)
+    (r0, r1), (jp0, jp1), (jl0, jl1), cost_col = _linearize_flat(
+        R_flat, poses.t, points, cam_idx, lm_idx, uv, weight, loss=loss)
 
     # ---- camera-side reduction ----
-    # columns: 21 upper-tri of Jp^T Jp, 6 of Jp^T r, 1 of 0.5 r^2 (cost)
+    # columns: 21 upper-tri of Jp^T Jp, 6 of Jp^T r, 1 of the (possibly
+    # robustified) per-obs cost
     cols = [_dot2(jp0[i], jp1[i], jp0[j], jp1[j]) for (i, j) in _IJ6]
     cols += [_dot2(jp0[i], jp1[i], r0, r1) for i in range(6)]
-    cols += [0.5 * (r0 * r0 + r1 * r1)]
+    cols += [cost_col]
     cam_stack = jnp.stack(cols, axis=1)                           # (N, 28)
     if work.oh_c is not None:
         # small C: ONE (C,N)x(N,28) MXU matmul
@@ -354,7 +372,7 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
                   max_iters=30, lambda_init=1e-4, xtol=1e-12,
                   pallas_meta=None, pallas_interpret=False,
                   linear="dense", pcg_work=None, cg_iters=100, cg_tol=1e-6,
-                  chol_backend="xla"):
+                  chol_backend="xla", loss=None):
     """LM bundle adjustment, flat layout. Same semantics/trajectory as
     schur.solve_ba(linear_solver='dense') — parity-tested. `work` comes from
     build_flat_work(obs, C, L) (host-built once; visibility is static).
@@ -367,13 +385,20 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
     linear: "dense" materializes + Cholesky-factors the reduced camera system
     (exact; C up to ~hundreds); "pcg" runs the scatter-free block-tridiagonal
     PCG of solvers/pcg_flat.py (large C) — pass
-    pcg_work=pcg_flat.build_pcg_work(obs, C)."""
+    pcg_work=pcg_flat.build_pcg_work(obs, C).
+
+    loss: optional residuals.robust.Loss — robustified BA via IRLS, same
+    semantics as schur.solve_ba(loss=...) (parity-tested). Not supported on
+    the pallas_meta linearization path."""
     n_cams = poses0.t.shape[0]
     n_points = points0.shape[0]
     dtype = points0.dtype
     C, L = n_cams, n_points
     if fixed_mask is None:
         fixed_mask = jnp.zeros(C, bool).at[0].set(True)
+    if loss is not None and pallas_meta is not None:
+        raise ValueError("loss= is not supported with pallas_meta "
+                         "(the fused kernel computes the unrobustified cost)")
 
     def quantities(poses, points):
         """(Hpp_flat, gp, Hll_flat tuple, gl, W, cost) at the given point."""
@@ -386,7 +411,7 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
                 L_pad=pallas_meta["L_pad"], interpret=pallas_interpret)
         else:
             Hpp_flat, gp, Hll_flat, gl, W, cost = _iteration_quantities(
-                poses, points, obs, work, C, L)
+                poses, points, obs, work, C, L, loss=loss)
         return (Hpp_flat, gp, tuple(Hll_flat), gl, W), cost
 
     def lin_solve(blocks, lam):

@@ -74,6 +74,48 @@ def test_full_solve_converges():
                                np.asarray(single.points), atol=1e-8)
 
 
+def test_robust_loss_parity_and_outlier_rejection():
+    """IRLS robust losses on the flat path (VERDICT r2 item 6): same final
+    state as schur.solve_ba(loss=huber) on an outlier-contaminated scene, and
+    the robust solve must beat the non-robust one on ground-truth recovery."""
+    from slam_tricks_tpu.residuals import robust
+
+    scene, poses0, points0, fixed, work = _problem()
+    obs = scene.obs
+    uv = np.asarray(obs.uv).copy()
+    rng = np.random.default_rng(7)
+    n_out = max(uv.shape[0] // 20, 3)
+    out_idx = rng.choice(np.flatnonzero(np.asarray(obs.weight) > 0), n_out,
+                         replace=False)
+    uv[out_idx] += rng.normal(scale=0.5, size=(n_out, 2))   # gross outliers
+    obs_c = obs._replace(uv=jnp.asarray(uv))
+
+    loss = robust.huber(delta=0.01)
+    ref = schur.solve_ba(poses0, points0, obs_c, fixed_mask=fixed,
+                         max_iters=50, loss=loss)
+    flat = schur_flat.solve_ba_flat(poses0, points0, obs_c, work,
+                                    fixed_mask=fixed, max_iters=50, loss=loss)
+    np.testing.assert_allclose(float(flat.cost), float(ref.cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(flat.points), np.asarray(ref.points),
+                               atol=1e-6)
+
+    plain = schur_flat.solve_ba_flat(poses0, points0, obs_c, work,
+                                     fixed_mask=fixed, max_iters=50)
+    # judge robustness on the parameters the outliers should NOT drag: the
+    # camera poses and the uncorrupted landmarks (a landmark whose own track
+    # is corrupted legitimately moves to fit it under any loss)
+    clean = np.ones(scene.n_points, bool)
+    clean[np.asarray(obs.lm_idx)[out_idx]] = False
+    err_rob = float(jnp.max(jnp.abs(flat.poses.t - scene.poses_true.t)))
+    err_plain = float(jnp.max(jnp.abs(plain.poses.t - scene.poses_true.t)))
+    assert err_rob < 0.2 * err_plain, (err_rob, err_plain)
+    perr_rob = float(np.max(np.abs(
+        np.asarray(flat.points)[clean] - np.asarray(scene.points_true)[clean])))
+    perr_plain = float(np.max(np.abs(
+        np.asarray(plain.points)[clean] - np.asarray(scene.points_true)[clean])))
+    assert perr_rob < 0.2 * perr_plain, (perr_rob, perr_plain)
+
+
 def test_full_solve_f32():
     """Production dtype: the flat solver must reach sub-pixel-squared cost on
     the noisy scene in pure f32 (VERDICT r1 item 6 — f32-on-TPU coverage)."""
