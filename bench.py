@@ -49,6 +49,11 @@ def _sync(out):
     leaves = jax.tree_util.tree_leaves(out)
     if leaves:
         small = min(leaves, key=lambda a: getattr(a, "size", 0))
+        # transfer ONE element, not the leaf: the index op waits on the full
+        # producer buffer, but the host pull is 4 bytes (pulling a big leaf
+        # would time the tunnel transfer, ~30 MB/s, not the computation)
+        if getattr(small, "ndim", 0):
+            small = small[(0,) * small.ndim]
         np.asarray(small)
     return out
 

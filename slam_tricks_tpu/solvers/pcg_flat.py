@@ -123,10 +123,17 @@ def _pair_product(Ya, Wb):
 
 def solve_rcs_pcg_flat(Hpp_flat, gp, Hll_flat, gl, W, lm_idx, lam, fixed_mask,
                        work: FlatWork, pcgw: PCGWork, n_cams, n_points, *,
-                       cg_iters=100, cg_tol=1e-6):
+                       cg_iters=100, cg_tol=1e-6, psum_axis=None):
     """Scatter-free PCG solve of the damped reduced camera system, plus
     landmark back-substitution. Flat inputs identical to
-    schur_flat._solve_flat. Returns (dp, dl, diag_pp, diag_ll)."""
+    schur_flat._solve_flat. Returns (dp, dl, diag_pp, diag_ll).
+
+    psum_axis: when running inside shard_map with landmark-locality-sharded
+    observations (parallel/pcg_dist.py), Hpp_flat/gp are replicated, the
+    landmark-side inputs are device-local, and every camera-side reduction
+    (rhs, the tridiagonal preconditioner blocks, and the PCG matvec) is a
+    per-device partial that gets psummed — O(C*6) bytes per CG iteration
+    plus O(C*36) once per linearization, independent of L and N."""
     dtype = gp.dtype
     C, L = n_cams, n_points
 
@@ -168,26 +175,29 @@ def solve_rcs_pcg_flat(Hpp_flat, gp, Hll_flat, gl, W, lm_idx, lam, fixed_mask,
             [sum(W_c[..., i * 3 + j] * ug[j] for j in range(3)).sum(axis=1)
              for i in range(6)], axis=1)
 
+    def _reduce(v):
+        return v if psum_axis is None else jax.lax.psum(v, psum_axis)
+
     # rhs: b = -(gp - W Hll^-1 gl)
     u0 = _mat3vec_flat(hinv, [gl[:, 0], gl[:, 1], gl[:, 2]])
-    b = -(gp - cam_reduce(u0)) * freec
+    b = -(gp - _reduce(cam_reduce(u0))) * freec
 
     def matvec(x):
         xf = x * freec
         t = lm_reduce(xf)
         u = _mat3vec_flat(hinv, t)
-        y = cam_reduce(u)
+        y = _reduce(cam_reduce(u))
         Sx = jnp.einsum("cij,cj->ci", Hpp_d, xf, precision=HIGHEST) - y
         return Sx * freec + x * fixedc
 
     # exact block-tridiagonal preconditioner via gathers
     Y_c = _block_mul_sym3(W_c, hinv_c)                          # (C,Kc,18)
-    D = Hpp_d - _pair_product(Y_c, W_c)                         # (C,6,6)
+    D = Hpp_d - _reduce(_pair_product(Y_c, W_c))                # (C,6,6)
     hinv_obs = [c[lm_idx] for c in hinv]
     Y_obs = _block_mul_sym3(W, hinv_obs)                        # (N,18)
     Ya = Y_obs[pcgw.adj_a] * pcgw.adj_mask[..., None]           # (C-1,Ka,18)
     Wb = W[pcgw.adj_b]
-    E = -_pair_product(Ya, Wb)                                  # (C-1,6,6)
+    E = -_reduce(_pair_product(Ya, Wb))                         # (C-1,6,6)
 
     eye6 = jnp.eye(6, dtype=dtype)
     fixedf = 1.0 - free

@@ -218,8 +218,13 @@ def build_flat_work(obs, n_cams, n_points, dtype=np.float32,
 
 
 def _iteration_quantities(poses, points, obs, work, n_cams, n_points,
-                          loss=None):
-    """Linearize + assemble, flat. Returns everything the LM step needs."""
+                          loss=None, psum_axis=None):
+    """Linearize + assemble, flat. Returns everything the LM step needs.
+
+    psum_axis: when running inside shard_map with observations partitioned by
+    landmark locality (parallel/pcg_dist.py), the camera-side reduction is a
+    per-device partial — psum it (O(C*28) bytes) so Hpp/gp/cost come out
+    replicated while the landmark-side blocks stay shard-local."""
     C, L = n_cams, n_points
     dtype = points.dtype
     cam_idx, lm_idx, uv, weight = obs.cam_idx, obs.lm_idx, obs.uv, obs.weight
@@ -244,6 +249,8 @@ def _iteration_quantities(poses, points, obs, work, n_cams, n_points,
         # large C: camera-table gather + masked sum (O(N) memory)
         cam_red = jnp.sum(cam_stack[work.cam_table]
                           * work.cam_mask[..., None], axis=1)     # (C, 28)
+    if psum_axis is not None:
+        cam_red = jax.lax.psum(cam_red, psum_axis)
     Hpp_flat = cam_red[:, :21]
     gp = cam_red[:, 21:27]
     cost = jnp.sum(cam_red[:, 27])
@@ -372,7 +379,7 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
                   max_iters=30, lambda_init=1e-4, xtol=1e-12,
                   pallas_meta=None, pallas_interpret=False,
                   linear="dense", pcg_work=None, cg_iters=100, cg_tol=1e-6,
-                  chol_backend="xla", loss=None):
+                  chol_backend="xla", loss=None, psum_axis=None):
     """LM bundle adjustment, flat layout. Same semantics/trajectory as
     schur.solve_ba(linear_solver='dense') — parity-tested. `work` comes from
     build_flat_work(obs, C, L) (host-built once; visibility is static).
@@ -389,7 +396,14 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
 
     loss: optional residuals.robust.Loss — robustified BA via IRLS, same
     semantics as schur.solve_ba(loss=...) (parity-tested). Not supported on
-    the pallas_meta linearization path."""
+    the pallas_meta linearization path.
+
+    psum_axis: run this EXACT solver inside shard_map as the distributed
+    large-C path (parallel/pcg_dist.py): `obs`/`work`/`pcg_work`/`points0`
+    are the device-local shard (landmark-locality partitioned), poses are
+    replicated, and the camera-side reductions + scalar reductions are
+    psummed over the named axis. Requires linear='pcg' (the dense path would
+    need the O((3L)(6C)) B matrix psummed — exactly what this path avoids)."""
     n_cams = poses0.t.shape[0]
     n_points = points0.shape[0]
     dtype = points0.dtype
@@ -399,6 +413,8 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
     if loss is not None and pallas_meta is not None:
         raise ValueError("loss= is not supported with pallas_meta "
                          "(the fused kernel computes the unrobustified cost)")
+    if psum_axis is not None and (linear != "pcg" or pallas_meta is not None):
+        raise ValueError("psum_axis requires linear='pcg' without pallas_meta")
 
     def quantities(poses, points):
         """(Hpp_flat, gp, Hll_flat tuple, gl, W, cost) at the given point."""
@@ -411,7 +427,8 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
                 L_pad=pallas_meta["L_pad"], interpret=pallas_interpret)
         else:
             Hpp_flat, gp, Hll_flat, gl, W, cost = _iteration_quantities(
-                poses, points, obs, work, C, L, loss=loss)
+                poses, points, obs, work, C, L, loss=loss,
+                psum_axis=psum_axis)
         return (Hpp_flat, gp, tuple(Hll_flat), gl, W), cost
 
     def lin_solve(blocks, lam):
@@ -421,7 +438,7 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
             return solve_rcs_pcg_flat(
                 Hpp_flat, gp, list(Hll_flat), gl, W, obs.lm_idx, lam,
                 fixed_mask, work, pcg_work, C, L, cg_iters=cg_iters,
-                cg_tol=cg_tol)
+                cg_tol=cg_tol, psum_axis=psum_axis)
         return _solve_flat(Hpp_flat, gp, list(Hll_flat), gl, W, lam,
                            fixed_mask, work, C, L, chol_backend=chol_backend)
 
@@ -446,6 +463,10 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
         dp, dl, diag_pp, diag_ll = lin_solve(blocks, s.lam)
 
         bad = jnp.any(~jnp.isfinite(dp)) | jnp.any(~jnp.isfinite(dl))
+        if psum_axis is not None:
+            # a device must not zero its (replicated) dp unless ALL agree —
+            # otherwise the replicated pose state diverges across devices
+            bad = jax.lax.psum(bad.astype(dtype), psum_axis) > 0
         dp_s = jnp.where(bad, jnp.zeros_like(dp), dp)
         dl_s = jnp.where(bad, jnp.zeros_like(dl), dl)
         poses_try = jax.vmap(lambda T, d: se3.SE3(
@@ -453,12 +474,17 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
         points_try = s.points + dl_s
         blocks_try, cost_try = quantities(poses_try, points_try)
 
-        pred = 0.5 * (jnp.sum(dp_s * (s.lam * diag_pp * dp_s - gp))
-                      + jnp.sum(dl_s * (s.lam * diag_ll * dl_s - gl)))
+        # pose terms are replicated under psum_axis; landmark terms are
+        # shard-local partials (each landmark owned by exactly one device)
+        pred_l = jnp.sum(dl_s * (s.lam * diag_ll * dl_s - gl))
+        step_l = jnp.sum(dl_s * dl_s)
+        if psum_axis is not None:
+            pred_l, step_l = jax.lax.psum((pred_l, step_l), psum_axis)
+        pred = 0.5 * (jnp.sum(dp_s * (s.lam * diag_pp * dp_s - gp)) + pred_l)
         accept, lam_new, nu_new = lm_accept(s.cost, cost_try, s.lam, s.nu,
                                             pred, bad)
         sel = lambda a, b: jnp.where(accept, a, b)
-        step_sq = jnp.sum(dp_s * dp_s) + jnp.sum(dl_s * dl_s)
+        step_sq = jnp.sum(dp_s * dp_s) + step_l
         new_state = BAState(
             poses=jax.tree_util.tree_map(sel, poses_try, s.poses),
             points=sel(points_try, s.points),
