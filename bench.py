@@ -459,7 +459,9 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    # only persist expensive compiles: tiny XLA:CPU host-build programs AOT-
+    # load unreliably across processes (machine-feature mismatch noise)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     detail = {"backend": jax.default_backend()}
     result = {"metric": "ba_lm_iters_per_s", "value": 0.0, "unit": "iters/s",

@@ -11,6 +11,7 @@ f32 PnP cost 2e-6 -> 9e-15, 40 -> 24 LM iterations — solvers/common.py).
 Select with `pytest -k f32`.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,6 +98,7 @@ def test_f32_batched_pnp():
     assert float(jnp.max(out.cost)) < PNP_COST_TOL_F32
 
 
+@pytest.mark.slow
 def test_f32_calibration():
     from slam_tricks_tpu.pipelines.calibration import calibrate
     from slam_tricks_tpu.sim.calib_scene import make_calib_scene

@@ -15,6 +15,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference KITTI frames not mounted")
 
 
+@pytest.mark.slow
 def test_kitti_vo_end_to_end():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
     import kitti_vo_demo

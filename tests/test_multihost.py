@@ -69,6 +69,7 @@ def _worker(process_id):
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="linux-only launcher")
+@pytest.mark.slow
 def test_two_process_distributed_ba():
     procs = []
     env = dict(os.environ)

@@ -1,5 +1,6 @@
 """Optical flow + panorama pipeline tests on synthetic imagery."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,6 +64,7 @@ class TestPanoramaPieces:
         # identical images: matches are the identity map
         assert (np.asarray(idx)[valid] == np.arange(len(valid))[valid]).mean() > 0.9
 
+    @pytest.mark.slow
     def test_pairwise_homography_translation(self):
         import jax
 

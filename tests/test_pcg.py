@@ -2,6 +2,7 @@
 == dense step; full BA with linear_solver='pcg' converges to the same optimum.
 Also: unrolled small-Cholesky == scipy."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -182,3 +183,41 @@ class TestPCG:
         final = schur.solve_ba(poses0, points0, scene.obs, fixed_mask=fixed,
                                max_iters=30, linear_solver="pcg")
         assert float(final.cost) < 1e-16, float(final.cost)
+
+
+@pytest.mark.slow
+def test_prefix_precond_f32_bench_scale():
+    """ADVICE r2: the parallel-prefix bidiagonal substitution forms explicit
+    products of the affine maps A_c = -L_c^{-1} F_c; verify in f32 at a
+    bench-like C that it stays close to the backward-stable f64 solve of the
+    same tridiagonal system (catches f32 product-chain blow-up)."""
+    import numpy as np
+
+    from slam_tricks_tpu.solvers.pcg import make_tridiag_precond
+
+    rng = np.random.default_rng(5)
+    C = 1024
+    # BA-like blocks: SPD diagonal = G G^T + damping, strong sub-diagonal
+    # coupling (adjacent cameras share most of a track's observations)
+    G = rng.normal(size=(C, 6, 8))
+    D = np.einsum("cik,cjk->cij", G, G) + 3.0 * np.eye(6)[None]
+    E = 0.45 * rng.normal(size=(C - 1, 6, 6))
+    r = rng.normal(size=(C, 6))
+
+    # f64 reference: dense solve of the block-tridiagonal matrix
+    M = np.zeros((C, 6, C, 6))
+    for c in range(C):
+        M[c, :, c, :] = D[c]
+    for c in range(C - 1):
+        M[c + 1, :, c, :] = E[c]
+        M[c, :, c + 1, :] = E[c].T
+    ref = np.linalg.solve(M.reshape(C * 6, C * 6), r.reshape(-1)).reshape(C, 6)
+
+    out32 = make_tridiag_precond(jnp.asarray(D, jnp.float32),
+                                 jnp.asarray(E, jnp.float32))(
+        jnp.asarray(r, jnp.float32))
+    rel = (np.linalg.norm(np.asarray(out32, np.float64) - ref)
+           / np.linalg.norm(ref))
+    # loose enough for f32 accumulation over 2*log2(C) prefix rounds, tight
+    # enough to catch exponential product growth
+    assert rel < 1e-3, rel

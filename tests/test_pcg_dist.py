@@ -2,6 +2,7 @@
 the single-device flat PCG solver on the 8-device CPU mesh, and the collective
 traffic bound (no (C,C,6,6) or (L,3) psum anywhere — VERDICT r2 item 5)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +33,7 @@ def _single_pcg(scene, poses0, points0, fixed, *, max_iters, cg_iters, cg_tol,
         cg_tol=cg_tol)
 
 
+@pytest.mark.slow
 def test_matches_single_device_cube():
     dtype = np.float64
     scene = make_scene(n_per_wall=10, n_cams=6, seed=61, pix_noise=1e-3,
@@ -60,6 +62,7 @@ def test_matches_single_device_cube():
     assert rms < 2.5e-3, rms
 
 
+@pytest.mark.slow
 def test_matches_single_device_trajectory():
     """The large-C problem shape this path exists for (st20 spiral analog)."""
     dtype = np.float64

@@ -2,6 +2,7 @@
 exact dense flat solve, full-solve convergence on the large-C trajectory
 scene, and table invariants."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +39,7 @@ def test_tables_cover_all_observations():
     assert np.all(cam[a[m]] == cam[b[m]] + 1)
 
 
+@pytest.mark.slow
 def test_step_matches_dense_flat():
     scene, poses0, points0, fixed, work, pcgw = _problem()
     C, L = scene.n_cams, scene.n_points

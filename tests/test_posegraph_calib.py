@@ -1,6 +1,7 @@
 """Pose-graph solver + calibration pipeline end-to-end tests, with ATE metrics
 (st4 pose_simulation.cpp:198-209 validation style)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ from slam_tricks_tpu.residuals.camera import DistCoeffs
 
 
 class TestPoseGraph:
+    @pytest.mark.slow
     def test_drifted_chain_recovers(self):
         prob = make_pose_graph(n=30, odo_noise=0.02, meas_noise=0.0, seed=1)
         ate_before = float(ate_rmse(prob.poses_init, prob.poses_true))
@@ -25,6 +27,7 @@ class TestPoseGraph:
         assert ate_after < 1e-8, (ate_before, ate_after)
         assert float(out.cost) < 1e-16
 
+    @pytest.mark.slow
     def test_noisy_loop_closure_improves_drift(self):
         prob = make_pose_graph(n=40, odo_noise=0.03, meas_noise=0.003, seed=2)
         ate_before = float(ate_translation_rmse(prob.poses_init, prob.poses_true))
@@ -35,6 +38,7 @@ class TestPoseGraph:
 
 
 class TestCalibrationPipeline:
+    @pytest.mark.slow
     def test_joint_refinement_with_distortion(self):
         """Distorted, noisy corners: closed-form init (no distortion model) is
         biased; joint refinement recovers intrinsics AND distortion
@@ -58,6 +62,7 @@ class TestCalibrationPipeline:
         max_px_diff = float(jnp.max(jnp.abs(d_true - d_est))) * scene.fx
         assert max_px_diff < 0.5, max_px_diff
 
+    @pytest.mark.slow
     def test_noiseless_exact(self):
         scene = make_calib_scene(n_views=6, noise=0.0, seed=9)
         res = calibrate(scene.board_pts, scene.image_pts, max_iters=40)

@@ -59,6 +59,7 @@ class TestChessboardRealImage:
         dg = np.linalg.norm(grid_pts[None, :, :] - found[:, None, :], axis=2)
         assert (dg.min(axis=1) < 2.0).all(), dg.min(axis=1).max()
 
+    @pytest.mark.slow
     def test_full_pipeline_std(self):
         """detect_chessboard (multi-scale + mean-shift verification +
         SVD-equivalent edge re-estimation) recovers the exact 8x5 grid."""
@@ -73,6 +74,7 @@ class TestChessboardRealImage:
         sep = np.abs(np.mod(a[:, 0] - a[:, 1] + np.pi / 2, np.pi) - np.pi / 2)
         assert (sep > np.pi / 6).mean() > 0.9
 
+    @pytest.mark.slow
     def test_wild_photos_beat_cv2(self):
         """The in-the-wild checkerboard photos (shoes/bag/socks/phone —
         curved, shadowed, strong perspective): our detector must recover a
