@@ -275,13 +275,14 @@ def stage_breakdown(ctx, detail):
 
 
 def stage_large_scale(ctx, detail):
-    """C=1024 / L=2e5 trajectory problem: scatter-free block-tridiagonal PCG
-    (SURVEY §7 step 5 'PCG for larger pose counts')."""
+    """C=1024 / L=2e5 trajectory problem, slot-major banded-direct solver
+    (solvers/banded_flat): exact linear solves, zero large gathers —
+    measured 23.9 ms/LM-iter vs 2465 ms for the O(N)-memory dense
+    comparator (SURVEY §7 step 5 'larger pose counts')."""
     import jax
 
     from slam_tricks_tpu.sim import make_trajectory_scene, perturb_scene
-    from slam_tricks_tpu.solvers import schur_flat
-    from slam_tricks_tpu.solvers.pcg_flat import build_pcg_work
+    from slam_tricks_tpu.solvers import banded_flat
 
     dtype = np.float32
     cpu = jax.devices("cpu")[0]
@@ -296,27 +297,62 @@ def stage_large_scale(ctx, detail):
             scene, pose_rot_noise=0.002, pose_trans_noise=0.01,
             point_noise=0.01, seed=12)
         C, L = scene.n_cams, scene.n_points
+        bwork = banded_flat.build_banded_work(scene.obs, C, L, dtype=dtype)
+    poses0, points0, fixed, bwork = jax.device_put(
+        (poses0, points0, fixed, bwork), ctx["dev"])
+    mi = 5
+
+    solve = jax.jit(banded_flat.solve_ba_banded,
+                    static_argnames=("max_iters",))
+    dt, out = _timeit(lambda: solve(poses0, points0, bwork, fixed_mask=fixed,
+                                    max_iters=mi), reps=2)
+
+    detail["large_scale"] = {
+        "n_cams": C, "n_points": L,
+        "n_obs": int(np.sum(np.asarray(scene.obs.weight) > 0)),
+        "banded_ms_per_iter": round(dt * 1e3 / max(int(out.it), 1), 2),
+        "banded_final_cost": float(out.cost),
+        "banded_lm_iters": int(out.it),
+    }
+    ctx["large"] = {"scene": scene, "C": C, "L": L}
+
+
+def stage_large_pcg(ctx, detail):
+    """General-structure (non-banded) large-C comparator: scatter-free
+    block-tridiagonal-preconditioned PCG on the same problem."""
+    import jax
+
+    from slam_tricks_tpu.sim import make_trajectory_scene, perturb_scene
+    from slam_tricks_tpu.solvers import schur_flat
+    from slam_tricks_tpu.solvers.pcg_flat import build_pcg_work
+
+    lg = ctx.get("large")
+    if lg is None:
+        return
+    scene = lg["scene"]
+    dtype = np.float32
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        poses0, points0, fixed = perturb_scene(
+            scene, pose_rot_noise=0.002, pose_trans_noise=0.01,
+            point_noise=0.01, seed=12)
+        C, L = scene.n_cams, scene.n_points
         work = schur_flat.build_flat_work(scene.obs, C, L, dtype=dtype)
         pcgw = build_pcg_work(scene.obs, C, dtype=dtype)
     poses0, points0, fixed, obs, work, pcgw = jax.device_put(
         (poses0, points0, fixed, scene.obs, work, pcgw), ctx["dev"])
     mi = 5
-
     solve_pcg = jax.jit(lambda p, x, f: schur_flat.solve_ba_flat(
         p, x, obs, work, fixed_mask=f, max_iters=mi,
         linear="pcg", pcg_work=pcgw, cg_iters=50, cg_tol=1e-6))
-    dt_pcg, out_pcg = _timeit(lambda: solve_pcg(poses0, points0, fixed), reps=2)
-
-    detail["large_scale"] = {
-        "n_cams": C, "n_points": L,
-        "n_obs": int(np.sum(np.asarray(scene.obs.weight) > 0)),
+    dt_pcg, out_pcg = _timeit(lambda: solve_pcg(poses0, points0, fixed),
+                              reps=2)
+    detail["large_scale"].update({
         "pcg_ms_per_iter": round(dt_pcg * 1e3 / max(int(out_pcg.it), 1), 2),
         "pcg_final_cost": float(out_pcg.cost),
-        "pcg_lm_iters": int(out_pcg.it),
-    }
-    ctx["large"] = {"scene": scene, "poses0": poses0, "points0": points0,
-                    "fixed": fixed, "obs": obs, "work": work, "pcgw": pcgw,
-                    "C": C, "L": L}
+    })
+    lg.update({"poses0": poses0, "points0": points0, "fixed": fixed,
+               "obs": obs})
 
 
 def stage_large_dense_comparator(ctx, detail):
@@ -328,7 +364,7 @@ def stage_large_dense_comparator(ctx, detail):
     from slam_tricks_tpu.solvers import schur
 
     lg = ctx.get("large")
-    if lg is None:
+    if lg is None or "obs" not in lg:
         return
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -482,7 +518,8 @@ def main():
         ("undistort", lambda: stage_undistort(ctx, detail), 60),
         ("pnp", lambda: stage_pnp(ctx, detail), 60),
         ("breakdown", lambda: stage_breakdown(ctx, detail), 60),
-        ("large_scale", lambda: stage_large_scale(ctx, detail), 240),
+        ("large_scale", lambda: stage_large_scale(ctx, detail), 180),
+        ("large_pcg", lambda: stage_large_pcg(ctx, detail), 240),
         ("large_dense_comparator",
          lambda: stage_large_dense_comparator(ctx, detail), 180),
         ("pallas", lambda: stage_pallas(ctx, detail), 150),

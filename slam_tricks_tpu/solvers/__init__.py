@@ -5,3 +5,11 @@ from slam_tricks_tpu.solvers.gn import gauss_newton, gauss_newton_batched  # noq
 from slam_tricks_tpu.solvers.lm import levenberg_marquardt  # noqa: F401
 from slam_tricks_tpu.solvers.posegraph import solve_pose_graph  # noqa: F401
 from slam_tricks_tpu.solvers.schur import solve_ba, solve_ba_jit  # noqa: F401
+from slam_tricks_tpu.solvers.banded_flat import (  # noqa: F401
+    build_banded_work,
+    solve_ba_banded,
+)
+from slam_tricks_tpu.solvers.schur_flat import (  # noqa: F401
+    build_flat_work,
+    solve_ba_flat,
+)

@@ -1,0 +1,464 @@
+"""Slot-major banded-direct BA — the large-C trajectory solver with ZERO
+large gathers (round-3 redesign of the C >= 1024 path).
+
+Round-3 on-chip profiling of the gather-table PCG path at C=1024/N=1.6M
+showed every reduction bound by random-gather latency: a TPU gather costs
+~10-20 ns per accessed row REGARDLESS of row width, so any (N,)-scale
+gather-based reduction costs 15-30 ms and one S-matvec cost 40-80 ms (50 CG
+iterations -> 2-4 s per LM step; the dense comparator was faster).
+
+This module exploits what the large-C problem actually IS: a TRAJECTORY.
+Each landmark is observed by a run of at most K consecutive cameras starting
+at c0(l) (sliding-window / odometry visibility — reference problem shape:
+st20 spiral, st20-g2o/src/src/sim_data.cpp:47-96, where track length is
+bounded by the camera's field of view sweeping past the landmark). Two
+consequences, both verified host-side by the builder:
+
+  1. SLOT-MAJOR LAYOUT. Observations live in a (K, Lpad) grid: slot k of
+     landmark l is its observation at camera c0(l)+k (weight 0 if missing).
+     camera(k, l) = c0(l)+k is COMPUTED, not gathered; the landmark id is
+     the position l itself. With landmarks sorted by c0 and padded so each
+     c0-group is a multiple of B, every reduction becomes
+        landmark-side: running sums over the K slots      (no reduction op)
+        camera-side:   contiguous (LB,B) chunk-sums  ->  one (C,LB)x(LB,n)
+                       one-hot MXU matmul  ->  a row-roll by k
+     and every "gather" of camera state is the same one-hot matmul applied
+     to rolled (C, ...) arrays. NO gather or scatter touches an O(N) array.
+
+  2. EXACT BANDED DIRECT SOLVE. bandwidth(S) = K-1, so grouping cameras
+     into super-blocks of m = K makes the reduced camera system EXACTLY
+     block-tridiagonal in (G, 6m, 6m) blocks. One block-tridiagonal Cholesky
+     (lax.scan over G ~ C/K steps) + parallel-prefix substitutions solve it
+     exactly — no CG loop, no preconditioner tuning, and better LM
+     convergence than truncated PCG.
+
+Same LM semantics as solvers/schur_flat.solve_ba_flat (damping, gauge,
+Nielsen control — parity-tested). Replaces Ceres SPARSE_SCHUR / g2o
+BlockSolver<6,3>+CSparse with marginalized landmarks for the trajectory
+problem class (st20-g2o/src/include/test_ceres.h:143-145, test_g2o.h:94-135).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tricks_tpu.manifolds import se3, so3
+from slam_tricks_tpu.solvers.common import HIGHEST
+from slam_tricks_tpu.solvers.schur import BAState, lm_accept
+from slam_tricks_tpu.solvers.schur_flat import (_IJ3, _IJ6, _inv3x3_flat,
+                                                _mat3vec_flat, _sym6_expand)
+
+_SYM33 = [[0, 1, 2], [1, 3, 4], [2, 4, 5]]
+
+
+class BandedWork(NamedTuple):
+    """Host-built slot-major problem layout (static visibility)."""
+    uv: jnp.ndarray           # (K, 2, Lpad)
+    weight: jnp.ndarray       # (K, Lpad)
+    onehot: jnp.ndarray       # (LB, C) chunk -> c0 one-hot
+    scatter_idx: jnp.ndarray  # (Lpad,) original landmark id; == L for padding
+    gather_idx: jnp.ndarray   # (Lpad,) = scatter_idx clipped into [0, L)
+    # chunk size B is implied: B = weight.shape[1] // onehot.shape[0]
+
+
+def build_banded_work(obs, n_cams, n_points, dtype=np.float32, chunk=32,
+                      max_band=32):
+    """Validate trajectory structure and build the slot-major layout.
+
+    Raises ValueError if the problem is not trajectory-structured (a landmark
+    observed on non-consecutive cameras, a duplicate (landmark, camera)
+    observation, or band K > max_band) — callers fall back to the general
+    PCG path (solvers/pcg_flat)."""
+    cam = np.asarray(obs.cam_idx).astype(np.int64)
+    lm = np.asarray(obs.lm_idx).astype(np.int64)
+    uv = np.asarray(obs.uv)
+    w = np.asarray(obs.weight)
+    C, L = int(n_cams), int(n_points)
+    valid = np.flatnonzero(w > 0)
+    cam_v, lm_v = cam[valid], lm[valid]
+
+    key = lm_v * C + cam_v
+    if np.unique(key).shape[0] != key.shape[0]:
+        raise ValueError("duplicate (landmark, camera) observation")
+    c0 = np.full(L, C, np.int64)
+    cmax = np.full(L, -1, np.int64)
+    np.minimum.at(c0, lm_v, cam_v)
+    np.maximum.at(cmax, lm_v, cam_v)
+    observed = cmax >= 0
+    span = np.where(observed, cmax - c0 + 1, 1)
+    K = int(span.max()) if observed.any() else 1
+    if K > max_band:
+        raise ValueError(f"band {K} > max_band {max_band}")
+    n_slots = np.zeros(L, np.int64)
+    np.add.at(n_slots, lm_v, 1)
+    # consecutive <=> every camera in [c0, cmax] hit exactly once is NOT
+    # required; only that span fits the band. Gaps are fine (weight-0 slots).
+    c0 = np.where(observed, c0, 0)
+
+    # landmarks sorted by c0, each c0 group padded to a multiple of `chunk`
+    obs_lms = np.flatnonzero(observed)
+    order = obs_lms[np.argsort(c0[obs_lms], kind="stable")]
+    counts = np.bincount(c0[order], minlength=C)
+    padded = counts + (-counts) % chunk
+    Lpad = max(int(padded.sum()), chunk)
+    LB = Lpad // chunk
+    starts = np.zeros(C + 1, np.int64)
+    np.cumsum(padded, out=starts[1:])
+    # slot of each real landmark inside the padded layout
+    gstart = np.zeros(C + 1, np.int64)
+    np.cumsum(counts, out=gstart[1:])
+    pos = starts[c0[order]] + (np.arange(order.shape[0]) - gstart[c0[order]])
+
+    scatter_idx = np.full(Lpad, L, np.int64)
+    scatter_idx[pos] = order
+    slot_c0 = np.zeros(Lpad, np.int64)
+    for c in range(C):                      # fill padded entries' c0 too
+        slot_c0[starts[c]:starts[c + 1]] = c
+    chunk_c0 = slot_c0.reshape(LB, chunk)[:, 0]
+    assert np.all(slot_c0.reshape(LB, chunk) == chunk_c0[:, None])
+
+    # slot-major measurement grid
+    uvg = np.zeros((K, 2, Lpad), dtype)
+    wg = np.zeros((K, Lpad), dtype)
+    lm_slot = np.full(L, Lpad, np.int64)
+    lm_slot[scatter_idx[pos]] = pos
+    k_of = cam_v - c0[lm_v]
+    col = lm_slot[lm_v]
+    uvg[k_of, 0, col] = uv[valid, 0].astype(dtype)
+    uvg[k_of, 1, col] = uv[valid, 1].astype(dtype)
+    wg[k_of, col] = w[valid].astype(dtype)
+
+    onehot = np.zeros((LB, C), dtype)
+    onehot[np.arange(LB), chunk_c0] = 1
+    return BandedWork(
+        uv=jnp.asarray(uvg), weight=jnp.asarray(wg),
+        onehot=jnp.asarray(onehot),
+        scatter_idx=jnp.asarray(scatter_idx.astype(np.int32)),
+        gather_idx=jnp.asarray(np.minimum(scatter_idx, L - 1).astype(np.int32)))
+
+
+def _affine_scan(As, bs):
+    """Inclusive prefix of y_i = As_i y_{i-1} + bs_i (As_0 must be 0)."""
+    def comb(lo, hi):
+        A1, b1 = lo
+        A2, b2 = hi
+        return (jnp.einsum("...ij,...jk->...ik", A2, A1, precision=HIGHEST),
+                jnp.einsum("...ij,...j->...i", A2, b1,
+                           precision=HIGHEST) + b2)
+    return jax.lax.associative_scan(comb, (As, bs))[1]
+
+
+def block_tridiag_solve(D, E, r):
+    """Solve the SPD block-tridiagonal system (D diag (G,m,m), E sub-diag
+    M[g+1,g] (G-1,m,m)) for r (G,m): block Cholesky (lax.scan over G) +
+    PARALLEL-PREFIX bidiagonal substitutions (the m=6 version of this lives
+    in solvers/pcg.make_tridiag_precond; here m = 6K is large enough that
+    the batched lax.linalg primitives beat trace-time unrolling)."""
+    chol = jax.lax.linalg.cholesky
+    tri = partial(jax.lax.linalg.triangular_solve, left_side=True, lower=True)
+
+    L0 = chol(D[0])
+
+    def step(Lp, DE):
+        Dg, Eg = DE
+        Ft = tri(Lp, jnp.swapaxes(Eg, -1, -2))        # F^T = Lp^{-1} E^T
+        F = jnp.swapaxes(Ft, -1, -2)
+        Lg = chol(Dg - jnp.einsum("ik,jk->ij", F, F, precision=HIGHEST))
+        return Lg, (Lg, F)
+
+    _, (Ls, Fs) = jax.lax.scan(step, L0, (D[1:], E))
+    Lall = jnp.concatenate([L0[None], Ls])
+
+    m = D.shape[-1]
+    zero1 = jnp.zeros((1, m, m), D.dtype)
+    A = jnp.concatenate([zero1, -tri(Ls, Fs)])
+    c = tri(Lall, r[..., None])[..., 0]
+    y = _affine_scan(A, c)
+    d = tri(Lall, y[..., None], transpose_a=True)[..., 0]
+    B = -tri(Lall[:-1], jnp.swapaxes(Fs, -1, -2), transpose_a=True)
+    Brev = jnp.concatenate([zero1, B[::-1]])
+    return _affine_scan(Brev, d[::-1])[::-1]
+
+
+def _linearize_slot(Rk, tk, points, uv_k, w_k, chunk, loss=None):
+    """Linearize slot k: Rk (LB,9), tk (LB,3) chunk-broadcast camera state;
+    points (Lpad,3); uv_k (2,Lpad); w_k (Lpad,). Returns the same column
+    families as schur_flat._linearize_flat, all (Lpad,)."""
+    LB = Rk.shape[0]
+    Lpad = points.shape[0]
+    bc = lambda col: jnp.broadcast_to(col[:, None],
+                                      (LB, chunk)).reshape(Lpad)
+    r_ = [bc(Rk[:, j]) for j in range(9)]
+    tn = [bc(tk[:, j]) for j in range(3)]
+    px, py, pz = points[:, 0], points[:, 1], points[:, 2]
+    x = r_[0] * px + r_[1] * py + r_[2] * pz + tn[0]
+    y = r_[3] * px + r_[4] * py + r_[5] * pz + tn[1]
+    z = r_[6] * px + r_[7] * py + r_[8] * pz + tn[2]
+    # weight-0 slots may hit arbitrary camera/point combos (incl. z ~ 0);
+    # keep them finite so 0 * inf never makes a NaN
+    z = jnp.where(w_k > 0, z, 1.0)
+    iz = 1.0 / z
+    u = x * iz
+    v = y * iz
+    d0 = u - uv_k[0]
+    d1 = v - uv_k[1]
+    if loss is None:
+        sw = jnp.sqrt(w_k)
+        cost_col = 0.5 * w_k * (d0 * d0 + d1 * d1)
+    else:
+        sqn = d0 * d0 + d1 * d1
+        sw = jnp.sqrt(w_k * loss.weight(sqn))
+        cost_col = 0.5 * w_k * loss.rho(sqn)
+    r0 = d0 * sw
+    r1 = d1 * sw
+    sziz = sw * iz
+    jl0 = [(r_[j] - u * r_[6 + j]) * sziz for j in range(3)]
+    jl1 = [(r_[3 + j] - v * r_[6 + j]) * sziz for j in range(3)]
+    jo0 = [jl0[2] * py - jl0[1] * pz,
+           jl0[0] * pz - jl0[2] * px,
+           jl0[1] * px - jl0[0] * py]
+    jo1 = [jl1[2] * py - jl1[1] * pz,
+           jl1[0] * pz - jl1[2] * px,
+           jl1[1] * px - jl1[0] * py]
+    zero = jnp.zeros_like(x)
+    jt0 = [sziz, zero, -u * sziz]
+    jt1 = [zero, sziz, -v * sziz]
+    jp0 = jo0 + jt0
+    jp1 = jo1 + jt1
+    return (r0, r1), (jp0, jp1), (jl0, jl1), cost_col
+
+
+def _cam_accum(cols, k, onehot, chunk):
+    """Chunk-sum (Lpad,) columns, one-hot-reduce to per-c0 rows, roll by k
+    (camera = c0 + k). Wrapped rows only ever receive weight-0 zeros."""
+    LB = onehot.shape[0]
+    P = jnp.stack([c.reshape(LB, chunk).sum(axis=1) for c in cols], axis=1)
+    part = jax.lax.dot_general(onehot, P, (((0,), (0,)), ((), ())),
+                               precision=HIGHEST)            # (C, n)
+    return jnp.roll(part, k, axis=0)
+
+
+def _cam_broadcast(rows, k, onehot):
+    """Per-chunk camera-state rows for slot k: onehot @ roll(rows, -k)."""
+    return jax.lax.dot_general(onehot, jnp.roll(rows, -k, axis=0),
+                               (((1,), (0,)), ((), ())),
+                               precision=HIGHEST)            # (LB, n)
+
+
+def _banded_quantities(poses, points_s, bw: BandedWork, C, loss=None):
+    """Linearize + assemble in slot-major layout. Returns
+    (Hpp_flat (C,21), gp (C,6), Hll 6x(Lpad,), gl (3,Lpad), W (K,18,Lpad),
+    cost)."""
+    K = bw.weight.shape[0]
+    Lpad = bw.weight.shape[1]
+    chunk = Lpad // bw.onehot.shape[0]
+    dtype = points_s.dtype
+    R12 = jnp.concatenate([poses.R.reshape(C, 9), poses.t], axis=1)
+
+    cam_red = jnp.zeros((C, 28), dtype)
+    Hll = [jnp.zeros(Lpad, dtype) for _ in range(6)]
+    gl = [jnp.zeros(Lpad, dtype) for _ in range(3)]
+    Wk = []
+    for k in range(K):
+        Rt = _cam_broadcast(R12, k, bw.onehot)               # (LB, 12)
+        (r0, r1), (jp0, jp1), (jl0, jl1), cost_col = _linearize_slot(
+            Rt[:, :9], Rt[:, 9:], points_s, bw.uv[k], bw.weight[k],
+            chunk, loss=loss)
+        d2 = lambda a0, a1, b0, b1: a0 * b0 + a1 * b1
+        cols = [d2(jp0[i], jp1[i], jp0[j], jp1[j]) for (i, j) in _IJ6]
+        cols += [d2(jp0[i], jp1[i], r0, r1) for i in range(6)]
+        cols += [cost_col]
+        cam_red = cam_red + _cam_accum(cols, k, bw.onehot, chunk)
+        for n, (i, j) in enumerate(_IJ3):
+            Hll[n] = Hll[n] + d2(jl0[i], jl1[i], jl0[j], jl1[j])
+        for j in range(3):
+            gl[j] = gl[j] + d2(jl0[j], jl1[j], r0, r1)
+        Wk.append(jnp.stack([d2(jp0[i], jp1[i], jl0[j], jl1[j])
+                             for i in range(6) for j in range(3)]))
+    W = jnp.stack(Wk)                                        # (K, 18, Lpad)
+    Hpp_flat = cam_red[:, :21]
+    gp = cam_red[:, 21:27]
+    cost = jnp.sum(cam_red[:, 27])
+    return Hpp_flat, gp, Hll, jnp.stack(gl), W, cost
+
+
+def _solve_banded(Hpp_flat, gp, Hll, gl, W, lam, fixed_mask, bw: BandedWork,
+                  C):
+    """Damped, gauge-fixed EXACT solve of the reduced camera system via the
+    super-block tridiagonal factorization; landmark back-substitution."""
+    dtype = gp.dtype
+    K = W.shape[0]
+    Lpad = W.shape[2]
+    chunk = Lpad // bw.onehot.shape[0]
+
+    dpp = [jnp.maximum(Hpp_flat[:, k], 1e-12)
+           for k, (i, j) in enumerate(_IJ6) if i == j]
+    dll = [jnp.maximum(Hll[k], 1e-12) for k, (i, j) in enumerate(_IJ3)
+           if i == j]
+    Hpp_d = _sym6_expand(Hpp_flat)
+    di = jnp.arange(6)
+    Hpp_d = Hpp_d.at[:, di, di].add(lam * jnp.stack(dpp, axis=1))
+    empty = (Hll[0] + Hll[3] + Hll[5]) <= 0.0
+    Hll_d = [jnp.where(empty, 1.0 if k in (0, 3, 5) else 0.0,
+                       Hll[k] + (lam * dll[{0: 0, 3: 1, 5: 2}[k]]
+                                 if k in (0, 3, 5) else 0.0))
+             for k in range(6)]
+    hinv = _inv3x3_flat(Hll_d)                               # 6 x (Lpad,)
+
+    free = (~fixed_mask).astype(dtype)
+
+    # Y(k) = W(k) Hll^-1 : (K, 18, Lpad) columns
+    yo = [[sum(W[k, i * 3 + m] * hinv[_SYM33[m][j]] for m in range(3))
+           for i in range(6) for j in range(3)] for k in range(K)]
+
+    # band blocks: band[o][c] = S[c+o, c] contribution -sum Y(k+o) W(k)^T
+    bands = []
+    for o in range(K):
+        acc = jnp.zeros((C, 36), dtype)
+        for k in range(K - o):
+            cols = [sum(yo[k + o][i * 3 + j] * W[k, i2 * 3 + j]
+                        for j in range(3))
+                    for i in range(6) for i2 in range(6)]
+            acc = acc + _cam_accum(cols, k, bw.onehot, chunk)
+        bands.append(-acc.reshape(C, 6, 6))
+    bands[0] = bands[0] + Hpp_d
+
+    # gauge: zero rows/cols of fixed cameras, unit diagonal
+    eye6 = jnp.eye(6, dtype=dtype)
+    bands[0] = (bands[0] * (free * free)[:, None, None]
+                + eye6[None] * (1.0 - free)[:, None, None])
+    for o in range(1, K):
+        bands[o] = bands[o] * (jnp.roll(free, -o) * free)[:, None, None]
+        # rows c >= C-o of band o are padding (S[c+o,c] needs c+o < C)
+        mask = (jnp.arange(C) < C - o).astype(dtype)
+        bands[o] = bands[o] * mask[:, None, None]
+
+    # rhs: b = -(gp - W Hll^-1 gl)
+    u = _mat3vec_flat(hinv, [gl[0], gl[1], gl[2]])           # 3 x (Lpad,)
+    y = jnp.zeros((C, 6), dtype)
+    for k in range(K):
+        cols = [sum(W[k, i * 3 + j] * u[j] for j in range(3))
+                for i in range(6)]
+        y = y + _cam_accum(cols, k, bw.onehot, chunk)
+    b = -(gp - y) * free[:, None]
+
+    # super-block grouping: m = 6*K, G = ceil(C/K); pad cameras to G*K with
+    # identity diagonal blocks (they carry zero rhs)
+    Kb = max(K, 2)
+    G = -(-C // Kb)
+    Cp = G * Kb
+    padc = Cp - C
+    if padc:
+        z6 = jnp.zeros((padc, 6, 6), dtype)
+        bands = [jnp.concatenate([bo, z6], axis=0) for bo in bands]
+        bands[0] = bands[0].at[C:, :, :].set(eye6[None])
+        b = jnp.concatenate([b, jnp.zeros((padc, 6), dtype)], axis=0)
+    if K < Kb:  # K == 1: keep a zero first off-diagonal band for grouping
+        bands.append(jnp.zeros((Cp, 6, 6), dtype))
+
+    m = 6 * Kb
+    # D'[g] (m,m): entry (r+o, r) from bands[o][g*Kb + r], r+o < Kb
+    Dg = jnp.zeros((G, Kb, Kb, 6, 6), dtype)
+    Eg = jnp.zeros((G - 1, Kb, Kb, 6, 6), dtype) if G > 1 else None
+    for o in range(min(len(bands), Kb)):
+        blk = bands[o].reshape(G, Kb, 6, 6)
+        for r in range(Kb - o):
+            Dg = Dg.at[:, r + o, r].set(blk[:, r])
+            if o > 0:
+                Dg = Dg.at[:, r, r + o].set(
+                    jnp.swapaxes(blk[:, r], -1, -2))
+        if G > 1:
+            for r in range(Kb - o, Kb):
+                # row r+o lands in the next super-block at r+o-Kb
+                Eg = Eg.at[:, r + o - Kb, r].set(blk[:-1, r])
+    Dm = Dg.transpose(0, 1, 3, 2, 4).reshape(G, m, m)
+    rm = b.reshape(G, m)
+    if G > 1:
+        Em = Eg.transpose(0, 1, 3, 2, 4).reshape(G - 1, m, m)
+        dp = block_tridiag_solve(Dm, Em, rm).reshape(Cp, 6)[:C]
+    else:
+        Lc = jax.lax.linalg.cholesky(Dm[0])
+        t1 = jax.lax.linalg.triangular_solve(Lc, rm[0][:, None],
+                                             left_side=True, lower=True)
+        dp = jax.lax.linalg.triangular_solve(
+            Lc, t1, left_side=True, lower=True,
+            transpose_a=True)[:, 0].reshape(Cp, 6)[:C]
+
+    # landmark back-substitution: dl = Hll^-1 (-gl - sum_k W(k)^T dp[c0+k])
+    t = [jnp.zeros(Lpad, dtype) for _ in range(3)]
+    for k in range(K):
+        dpk = _cam_broadcast(dp * free[:, None], k, bw.onehot)  # (LB, 6)
+        bcast = lambda col: jnp.broadcast_to(
+            col[:, None], (bw.onehot.shape[0], chunk)).reshape(Lpad)
+        dcols = [bcast(dpk[:, i]) for i in range(6)]
+        for j in range(3):
+            t[j] = t[j] + sum(W[k, i * 3 + j] * dcols[i] for i in range(6))
+    rhs = [-gl[j] - t[j] for j in range(3)]
+    dl = jnp.stack(_mat3vec_flat(hinv, rhs), axis=1)         # (Lpad, 3)
+    return dp, dl, jnp.stack(dpp, axis=1), jnp.stack(dll, axis=1)
+
+
+def solve_ba_banded(poses0, points0, bw: BandedWork, *, fixed_mask=None,
+                    max_iters=30, lambda_init=1e-4, xtol=1e-12, loss=None):
+    """LM bundle adjustment on the slot-major banded layout. Identical
+    semantics/trajectory to schur_flat.solve_ba_flat (parity-tested); exact
+    linear solves every iteration. `points0` is in ORIGINAL landmark order
+    ((L,3)); so is the returned state's `.points`."""
+    C = poses0.t.shape[0]
+    L = points0.shape[0]
+    dtype = points0.dtype
+    if fixed_mask is None:
+        fixed_mask = jnp.zeros(C, bool).at[0].set(True)
+
+    points_s0 = points0[bw.gather_idx]                       # (Lpad, 3) once
+
+    def quantities(poses, points_s):
+        Hpp, gp, Hll, gl, W, cost = _banded_quantities(
+            poses, points_s, bw, C, loss=loss)
+        return (Hpp, gp, tuple(Hll), gl, W), cost
+
+    blocks0, cost0 = quantities(poses0, points_s0)
+    state = (BAState(poses=poses0, points=points_s0, cost=cost0,
+                     lam=jnp.asarray(lambda_init, dtype),
+                     nu=jnp.asarray(2.0, dtype),
+                     it=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool)),
+             blocks0)
+
+    def cond(sb):
+        s, _ = sb
+        return (~s.done) & (s.it < max_iters)
+
+    def body(sb):
+        s, blocks = sb
+        Hpp, gp, Hll, gl, W = blocks
+        dp, dl, diag_pp, diag_ll = _solve_banded(
+            Hpp, gp, list(Hll), gl, W, s.lam, fixed_mask, bw, C)
+        bad = jnp.any(~jnp.isfinite(dp)) | jnp.any(~jnp.isfinite(dl))
+        dp_s = jnp.where(bad, jnp.zeros_like(dp), dp)
+        dl_s = jnp.where(bad, jnp.zeros_like(dl), dl)
+        poses_try = jax.vmap(lambda T, d: se3.SE3(
+            so3.retract(T.R, d[:3]), T.t + d[3:]))(s.poses, dp_s)
+        points_try = s.points + dl_s
+        blocks_try, cost_try = quantities(poses_try, points_try)
+
+        pred = 0.5 * (jnp.sum(dp_s * (s.lam * diag_pp * dp_s - gp))
+                      + jnp.sum(dl_s * (s.lam * diag_ll * dl_s
+                                        - gl.T)))
+        accept, lam_new, nu_new = lm_accept(s.cost, cost_try, s.lam, s.nu,
+                                            pred, bad)
+        sel = lambda a, b2: jnp.where(accept, a, b2)
+        step_sq = jnp.sum(dp_s * dp_s) + jnp.sum(dl_s * dl_s)
+        new_state = BAState(
+            poses=jax.tree_util.tree_map(sel, poses_try, s.poses),
+            points=sel(points_try, s.points),
+            cost=sel(cost_try, s.cost), lam=lam_new, nu=nu_new, it=s.it + 1,
+            done=accept & (step_sq < xtol * xtol))
+        new_blocks = jax.tree_util.tree_map(sel, blocks_try, blocks)
+        return (new_state, new_blocks)
+
+    final, _ = jax.lax.while_loop(cond, body, state)
+    points_out = points0.at[bw.scatter_idx].set(final.points, mode="drop")
+    return final._replace(points=points_out)
