@@ -383,6 +383,48 @@ def stage_large_dense_comparator(ctx, detail):
     })
 
 
+def stage_tridiag_ab(ctx, detail):
+    """Three-way A/B of the banded linear solver at the production shape
+    (G,m)=(128,48): batched cyclic reduction (XLA, default) vs the fused
+    Pallas kernel vs the sequential XLA scan (VERDICT r2 item 3 — the
+    recorded kernel-vs-XLA table)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_tricks_tpu.ops.pallas_tridiag import tridiag_solve
+    from slam_tricks_tpu.solvers.banded_flat import (
+        block_tridiag_solve_cr, block_tridiag_solve_scan)
+
+    dtype = np.float32
+    G, m = (16, 24) if SMOKE else (128, 48)
+    rng = np.random.default_rng(0)
+    Gm = rng.normal(size=(G, m, m + 8))
+    D = jnp.asarray((Gm @ Gm.transpose(0, 2, 1)
+                     + 8 * np.eye(m)[None]).astype(dtype))
+    E = jnp.asarray((0.3 * rng.normal(size=(G - 1, m, m))).astype(dtype))
+    r = jnp.asarray(rng.normal(size=(G, m)).astype(dtype))
+    AMORT = 16
+
+    def loop(f):
+        @jax.jit
+        def run(z, D, E, r):
+            def body(i, acc):
+                return acc + f(D, E + 0.0 * i, r)[1, 0]
+            return jax.lax.fori_loop(0, AMORT, body, z)
+        return run
+
+    out = {}
+    variants = [("cr", block_tridiag_solve_cr),
+                ("xla_scan", block_tridiag_solve_scan)]
+    if not SMOKE:   # Mosaic compile; interpret mode is covered by tests
+        variants.insert(1, ("pallas", lambda D, E, r: tridiag_solve(D, E, r)))
+    for name, f in variants:
+        g = loop(f)
+        dt, _ = _timeit(lambda: g(jnp.zeros((), dtype), D, E, r))
+        out[f"{name}_ms"] = round(dt * 1e3 / AMORT, 3)
+    detail["tridiag_solver_ab"] = out
+
+
 def stage_pallas(ctx, detail):
     """Pallas kernel A/B vs the XLA flat path (VERDICT r2 item 3): full-solve
     variant timings + isolated kernel stage timings. Mosaic compiles are slow
@@ -519,6 +561,7 @@ def main():
         ("pnp", lambda: stage_pnp(ctx, detail), 60),
         ("breakdown", lambda: stage_breakdown(ctx, detail), 60),
         ("large_scale", lambda: stage_large_scale(ctx, detail), 180),
+        ("tridiag_ab", lambda: stage_tridiag_ab(ctx, detail), 120),
         ("large_pcg", lambda: stage_large_pcg(ctx, detail), 240),
         ("large_dense_comparator",
          lambda: stage_large_dense_comparator(ctx, detail), 180),

@@ -151,7 +151,75 @@ def _affine_scan(As, bs):
     return jax.lax.associative_scan(comb, (As, bs))[1]
 
 
-def block_tridiag_solve(D, E, r):
+def _batched_spd_inverse(A):
+    """(B, m, m) SPD inverses via batched Cholesky: A^-1 = X^T X, X=L^-1."""
+    Lc = jax.lax.linalg.cholesky(A)
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    X = jax.lax.linalg.triangular_solve(Lc, eye, left_side=True, lower=True)
+    return jnp.einsum("...ki,...kj->...ij", X, X, precision=HIGHEST)
+
+
+def block_tridiag_solve_cr(D, E, r):
+    """Solve the SPD block-tridiagonal system by BATCHED CYCLIC REDUCTION:
+    eliminate the odd-indexed blocks (all of them at once — batched inverses
+    and matmuls), recurse on the half-size even system, back-substitute.
+    log2(G) rounds of ~8 batched ops replace G sequential scan steps —
+    measured 128x48: scan 3.2-4.5 ms, cyclic reduction ~0.3-0.5 ms.
+    CR on an SPD block-tridiagonal matrix is block Cholesky under the
+    odd-even (nested-dissection) permutation, so the intermediate systems
+    stay SPD and the recursion is stable."""
+    G, m, _ = D.shape
+    if G == 1:
+        Lc = jax.lax.linalg.cholesky(D[0])
+        t = jax.lax.linalg.triangular_solve(Lc, r[0][:, None],
+                                            left_side=True, lower=True)
+        return jax.lax.linalg.triangular_solve(
+            Lc, t, left_side=True, lower=True, transpose_a=True)[:, 0][None]
+    G0 = G
+    if G % 2:                          # pad to even with a decoupled identity
+        D = jnp.concatenate([D, jnp.eye(m, dtype=D.dtype)[None]], axis=0)
+        E = jnp.concatenate([E, jnp.zeros((1, m, m), D.dtype)], axis=0)
+        r = jnp.concatenate([r, jnp.zeros((1, m), D.dtype)], axis=0)
+        G += 1
+    H = G // 2
+    mmb = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b,
+                                  precision=HIGHEST)
+    mvb = lambda a, b: jnp.einsum("...ij,...j->...i", a, b,
+                                  precision=HIGHEST)
+    T = lambda a: jnp.swapaxes(a, -1, -2)
+
+    Ep = jnp.concatenate([E, jnp.zeros((1, m, m), D.dtype)],
+                         axis=0)                # (G, m, m); E[G-1] = 0
+    De, Do = D[0::2], D[1::2]                   # (H, m, m) each
+    Ee, Eo = Ep[0::2], Ep[1::2]                 # E[2k], E[2k+1]; (H, m, m)
+    re, ro = r[0::2], r[1::2]
+
+    Mo = _batched_spd_inverse(Do)               # (H, m, m)
+    MoEe = mmb(Mo, Ee)                          # M_{2k+1} E_{2k}
+    MoEoT = mmb(Mo, T(Eo))                      # M_{2k+1} E_{2k+1}^T
+    Mro = mvb(Mo, ro)
+
+    # even diagonal updates: from i = j+1 (always) and i = j-1 (j >= 2)
+    up = mmb(T(Ee), MoEe)                       # E_{2k}^T M E_{2k}
+    dn = mmb(Eo, MoEoT)                         # E_{2k+1} M E_{2k+1}^T
+    zero1 = jnp.zeros((1, m, m), D.dtype)
+    D2 = De - up - jnp.concatenate([zero1, dn[:-1]], axis=0)
+    # new couplings between even 2k and 2k+2: -E_{2k+1} M E_{2k}
+    E2 = -mmb(Eo, MoEe)[:H - 1]
+    zv = jnp.zeros((1, m), D.dtype)
+    r2 = (re - mvb(T(Ee), Mro)
+          - jnp.concatenate([zv, mvb(Eo, Mro)[:-1]], axis=0))
+
+    xe = block_tridiag_solve_cr(D2, E2, r2)     # (H, m)
+    # back-substitute odd blocks: x_{2k+1} = M(r_o - E_{2k} x_{2k}
+    #                                            - E_{2k+1}^T x_{2k+2})
+    xe_next = jnp.concatenate([xe[1:], zv], axis=0)
+    xo = Mro - mvb(MoEe, xe) - mvb(MoEoT, xe_next)
+    out = jnp.stack([xe, xo], axis=1).reshape(G, m)
+    return out[:G0]
+
+
+def block_tridiag_solve_scan(D, E, r):
     """Solve the SPD block-tridiagonal system (D diag (G,m,m), E sub-diag
     M[g+1,g] (G-1,m,m)) for r (G,m): block Cholesky (lax.scan over G) +
     PARALLEL-PREFIX bidiagonal substitutions (the m=6 version of this lives
@@ -181,6 +249,18 @@ def block_tridiag_solve(D, E, r):
     B = -tri(Lall[:-1], jnp.swapaxes(Fs, -1, -2), transpose_a=True)
     Brev = jnp.concatenate([zero1, B[::-1]])
     return _affine_scan(Brev, d[::-1])[::-1]
+
+
+def block_tridiag_solve(D, E, r, method="cr"):
+    """Dispatch: 'cr' (batched cyclic reduction — fastest, default),
+    'scan' (sequential block Cholesky + prefix substitutions), or 'pallas'
+    (the fused single-kernel solver of ops/pallas_tridiag)."""
+    if method == "cr":
+        return block_tridiag_solve_cr(D, E, r)
+    if method == "pallas":
+        from slam_tricks_tpu.ops.pallas_tridiag import tridiag_solve
+        return tridiag_solve(D, E, r)
+    return block_tridiag_solve_scan(D, E, r)
 
 
 def _linearize_slot(Rk, tk, points, uv_k, w_k, chunk, loss=None):
