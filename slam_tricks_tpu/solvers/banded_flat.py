@@ -328,10 +328,16 @@ def _cam_broadcast(rows, k, onehot):
                                precision=HIGHEST)            # (LB, n)
 
 
-def _banded_quantities(poses, points_s, bw: BandedWork, C, loss=None):
+def _banded_quantities(poses, points_s, bw: BandedWork, C, loss=None,
+                       psum_axis=None):
     """Linearize + assemble in slot-major layout. Returns
     (Hpp_flat (C,21), gp (C,6), Hll 6x(Lpad,), gl (3,Lpad), W (K,18,Lpad),
-    cost)."""
+    cost).
+
+    psum_axis: inside shard_map with the landmark-chunk axis split across
+    devices (parallel/banded_dist.py), the camera-side accumulation is a
+    per-device partial — ONE psum of (C,28) makes Hpp/gp/cost replicated
+    while every landmark-side quantity stays shard-local."""
     K = bw.weight.shape[0]
     Lpad = bw.weight.shape[1]
     chunk = Lpad // bw.onehot.shape[0]
@@ -359,6 +365,8 @@ def _banded_quantities(poses, points_s, bw: BandedWork, C, loss=None):
         Wk.append(jnp.stack([d2(jp0[i], jp1[i], jl0[j], jl1[j])
                              for i in range(6) for j in range(3)]))
     W = jnp.stack(Wk)                                        # (K, 18, Lpad)
+    if psum_axis is not None:
+        cam_red = jax.lax.psum(cam_red, psum_axis)
     Hpp_flat = cam_red[:, :21]
     gp = cam_red[:, 21:27]
     cost = jnp.sum(cam_red[:, 27])
@@ -366,9 +374,14 @@ def _banded_quantities(poses, points_s, bw: BandedWork, C, loss=None):
 
 
 def _solve_banded(Hpp_flat, gp, Hll, gl, W, lam, fixed_mask, bw: BandedWork,
-                  C):
+                  C, psum_axis=None):
     """Damped, gauge-fixed EXACT solve of the reduced camera system via the
-    super-block tridiagonal factorization; landmark back-substitution."""
+    super-block tridiagonal factorization; landmark back-substitution.
+
+    psum_axis: band blocks and the rhs camera reduction are per-device
+    partials — two psums (K*(C,36) stacked + (C,6)); the super-block
+    factorization/solve is replicated and the landmark back-substitution
+    stays local."""
     dtype = gp.dtype
     K = W.shape[0]
     Lpad = W.shape[2]
@@ -403,7 +416,10 @@ def _solve_banded(Hpp_flat, gp, Hll, gl, W, lam, fixed_mask, bw: BandedWork,
                         for j in range(3))
                     for i in range(6) for i2 in range(6)]
             acc = acc + _cam_accum(cols, k, bw.onehot, chunk)
-        bands.append(-acc.reshape(C, 6, 6))
+        bands.append(acc)
+    if psum_axis is not None:
+        bands = list(jax.lax.psum(jnp.stack(bands), psum_axis))
+    bands = [-bo.reshape(C, 6, 6) for bo in bands]
     bands[0] = bands[0] + Hpp_d
 
     # gauge: zero rows/cols of fixed cameras, unit diagonal
@@ -423,6 +439,8 @@ def _solve_banded(Hpp_flat, gp, Hll, gl, W, lam, fixed_mask, bw: BandedWork,
         cols = [sum(W[k, i * 3 + j] * u[j] for j in range(3))
                 for i in range(6)]
         y = y + _cam_accum(cols, k, bw.onehot, chunk)
+    if psum_axis is not None:
+        y = jax.lax.psum(y, psum_axis)
     b = -(gp - y) * free[:, None]
 
     # super-block grouping: m = 6*K, G = ceil(C/K); pad cameras to G*K with
@@ -482,11 +500,19 @@ def _solve_banded(Hpp_flat, gp, Hll, gl, W, lam, fixed_mask, bw: BandedWork,
 
 
 def solve_ba_banded(poses0, points0, bw: BandedWork, *, fixed_mask=None,
-                    max_iters=30, lambda_init=1e-4, xtol=1e-12, loss=None):
+                    max_iters=30, lambda_init=1e-4, xtol=1e-12, loss=None,
+                    psum_axis=None, slot_points=False):
     """LM bundle adjustment on the slot-major banded layout. Identical
     semantics/trajectory to schur_flat.solve_ba_flat (parity-tested); exact
     linear solves every iteration. `points0` is in ORIGINAL landmark order
-    ((L,3)); so is the returned state's `.points`."""
+    ((L,3)); so is the returned state's `.points`.
+
+    psum_axis: run this EXACT solver inside shard_map with the landmark
+    chunks split across devices (parallel/banded_dist.py): `bw` is the
+    device-local slice, camera-side accumulations and scalar reductions are
+    psummed, landmark state stays shard-local. slot_points=True returns
+    `.points` in LOCAL slot order (Lpad,3) instead of scattering to the
+    global landmark order (the distributed wrapper scatters once outside)."""
     C = poses0.t.shape[0]
     L = points0.shape[0]
     dtype = points0.dtype
@@ -497,7 +523,7 @@ def solve_ba_banded(poses0, points0, bw: BandedWork, *, fixed_mask=None,
 
     def quantities(poses, points_s):
         Hpp, gp, Hll, gl, W, cost = _banded_quantities(
-            poses, points_s, bw, C, loss=loss)
+            poses, points_s, bw, C, loss=loss, psum_axis=psum_axis)
         return (Hpp, gp, tuple(Hll), gl, W), cost
 
     blocks0, cost0 = quantities(poses0, points_s0)
@@ -515,8 +541,12 @@ def solve_ba_banded(poses0, points0, bw: BandedWork, *, fixed_mask=None,
         s, blocks = sb
         Hpp, gp, Hll, gl, W = blocks
         dp, dl, diag_pp, diag_ll = _solve_banded(
-            Hpp, gp, list(Hll), gl, W, s.lam, fixed_mask, bw, C)
+            Hpp, gp, list(Hll), gl, W, s.lam, fixed_mask, bw, C,
+            psum_axis=psum_axis)
         bad = jnp.any(~jnp.isfinite(dp)) | jnp.any(~jnp.isfinite(dl))
+        if psum_axis is not None:
+            # all devices must agree before touching the replicated state
+            bad = jax.lax.psum(bad.astype(dtype), psum_axis) > 0
         dp_s = jnp.where(bad, jnp.zeros_like(dp), dp)
         dl_s = jnp.where(bad, jnp.zeros_like(dl), dl)
         poses_try = jax.vmap(lambda T, d: se3.SE3(
@@ -524,13 +554,15 @@ def solve_ba_banded(poses0, points0, bw: BandedWork, *, fixed_mask=None,
         points_try = s.points + dl_s
         blocks_try, cost_try = quantities(poses_try, points_try)
 
-        pred = 0.5 * (jnp.sum(dp_s * (s.lam * diag_pp * dp_s - gp))
-                      + jnp.sum(dl_s * (s.lam * diag_ll * dl_s
-                                        - gl.T)))
+        pred_l = jnp.sum(dl_s * (s.lam * diag_ll * dl_s - gl.T))
+        step_l = jnp.sum(dl_s * dl_s)
+        if psum_axis is not None:
+            pred_l, step_l = jax.lax.psum((pred_l, step_l), psum_axis)
+        pred = 0.5 * (jnp.sum(dp_s * (s.lam * diag_pp * dp_s - gp)) + pred_l)
         accept, lam_new, nu_new = lm_accept(s.cost, cost_try, s.lam, s.nu,
                                             pred, bad)
         sel = lambda a, b2: jnp.where(accept, a, b2)
-        step_sq = jnp.sum(dp_s * dp_s) + jnp.sum(dl_s * dl_s)
+        step_sq = jnp.sum(dp_s * dp_s) + step_l
         new_state = BAState(
             poses=jax.tree_util.tree_map(sel, poses_try, s.poses),
             points=sel(points_try, s.points),
@@ -540,5 +572,7 @@ def solve_ba_banded(poses0, points0, bw: BandedWork, *, fixed_mask=None,
         return (new_state, new_blocks)
 
     final, _ = jax.lax.while_loop(cond, body, state)
+    if slot_points:
+        return final
     points_out = points0.at[bw.scatter_idx].set(final.points, mode="drop")
     return final._replace(points=points_out)

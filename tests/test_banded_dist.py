@@ -1,0 +1,71 @@
+"""Distributed banded BA (parallel/banded_dist): trajectory parity with the
+single-device banded solver on the 8-device CPU mesh and the pose-sized
+collective bound."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from slam_tricks_tpu.parallel.banded_dist import (
+    build_dist_banded_work,
+    make_ba_solver_banded_dist,
+)
+from slam_tricks_tpu.sim import make_trajectory_scene, perturb_scene
+from slam_tricks_tpu.solvers import banded_flat
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()).reshape(8), axis_names=("obs",))
+
+
+def _problem(dtype=np.float64, n_cams=48, n_points=900, track_len=5, seed=81):
+    scene = make_trajectory_scene(n_cams=n_cams, n_points=n_points,
+                                  track_len=track_len, seed=seed, dtype=dtype)
+    poses0, points0, fixed = perturb_scene(
+        scene, pose_rot_noise=0.002, pose_trans_noise=0.01, point_noise=0.01,
+        seed=seed + 1)
+    return scene, poses0, points0, fixed
+
+
+@pytest.mark.slow
+def test_matches_single_device():
+    dtype = np.float64
+    scene, poses0, points0, fixed = _problem(dtype=dtype)
+    bw = banded_flat.build_banded_work(scene.obs, scene.n_cams,
+                                       scene.n_points, dtype=dtype)
+    kw = dict(fixed_mask=fixed, max_iters=6)
+    ref = banded_flat.solve_ba_banded(poses0, points0, bw, **kw)
+
+    dwork = build_dist_banded_work(scene.obs, scene.n_cams, scene.n_points,
+                                   8, dtype=dtype)
+    dist = make_ba_solver_banded_dist(_mesh(), max_iters=6)(
+        poses0, points0, dwork, fixed)
+
+    # exact solves both sides: only cross-device f.p. reassociation differs
+    assert int(dist.it) == int(ref.it), (int(dist.it), int(ref.it))
+    np.testing.assert_allclose(float(dist.cost), float(ref.cost), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(dist.poses.t),
+                               np.asarray(ref.poses.t), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dist.points),
+                               np.asarray(ref.points), atol=1e-8)
+
+
+def test_collective_traffic_is_pose_sized():
+    dtype = np.float32
+    scene, poses0, points0, fixed = _problem(dtype=dtype, n_cams=32,
+                                             n_points=2000, seed=83)
+    dwork = build_dist_banded_work(scene.obs, scene.n_cams, scene.n_points,
+                                   8, dtype=dtype)
+    solver = make_ba_solver_banded_dist(_mesh(), max_iters=2)
+    hlo = solver.lower(poses0, points0, dwork, fixed).as_text()
+    import re
+
+    C = scene.n_cams
+    K = int(dwork.local.weight.shape[1])
+    cap = K * C * 36 * 4 * 2      # the stacked band psum, x2 slack
+    for shape in re.findall(r'all-reduce[^=]*=\s*\(?([a-z0-9\[\],\s]+)\)?',
+                            hlo.lower()):
+        for dims in re.findall(r'f32\[([0-9,]*)\]', shape):
+            n = int(np.prod([int(x) for x in dims.split(",") if x] or [1]))
+            assert n * 4 <= cap, f"oversized collective operand: f32[{dims}]"
