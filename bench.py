@@ -10,7 +10,7 @@ Prints ONE JSON line per completed stage (the driver parses the LAST line):
 Structure (VERDICT r2 item 1): the headline (xla-flat solve) and the CPU
 baseline run FIRST and the result line is printed+flushed immediately; every
 later stage is optional, wrapped in try/except, and gated on a wall-clock
-budget (env SLAM_BENCH_BUDGET_S, default 900 s) so one slow stage can never
+budget (env SLAM_BENCH_BUDGET_S, default 1000 s) so one slow stage can never
 wipe the benchmark again (round 2's artifact was rc=124 with no output).
 
 vs_baseline compares against bench_baseline.py: a single-core numpy
@@ -31,7 +31,7 @@ import numpy as np
 T0 = time.monotonic()
 SMOKE = bool(int(os.environ.get("SLAM_BENCH_SMOKE", "0")))
 BUDGET = float(os.environ.get("SLAM_BENCH_BUDGET_S",
-                              "100000" if SMOKE else "900"))
+                              "100000" if SMOKE else "1000"))
 
 
 def _left():
@@ -314,7 +314,9 @@ def stage_large_scale(ctx, detail):
         "banded_final_cost": float(out.cost),
         "banded_lm_iters": int(out.it),
     }
-    ctx["large"] = {"scene": scene, "C": C, "L": L}
+    obs_d = jax.device_put(scene.obs, ctx["dev"])
+    ctx["large"] = {"scene": scene, "C": C, "L": L, "poses0": poses0,
+                    "points0": points0, "fixed": fixed, "obs": obs_d}
 
 
 def stage_large_pcg(ctx, detail):
@@ -351,8 +353,6 @@ def stage_large_pcg(ctx, detail):
         "pcg_ms_per_iter": round(dt_pcg * 1e3 / max(int(out_pcg.it), 1), 2),
         "pcg_final_cost": float(out_pcg.cost),
     })
-    lg.update({"poses0": poses0, "points0": points0, "fixed": fixed,
-               "obs": obs})
 
 
 def stage_large_dense_comparator(ctx, detail):
@@ -556,15 +556,17 @@ def main():
     _emit(result)
 
     # optional stages: (name, fn, min-budget-seconds to even start)
+    # ordered by value-per-second: the banded large-scale number and its
+    # honest dense comparator land before the slower historical comparators
     optional = [
         ("undistort", lambda: stage_undistort(ctx, detail), 60),
         ("pnp", lambda: stage_pnp(ctx, detail), 60),
-        ("breakdown", lambda: stage_breakdown(ctx, detail), 60),
         ("large_scale", lambda: stage_large_scale(ctx, detail), 180),
-        ("tridiag_ab", lambda: stage_tridiag_ab(ctx, detail), 120),
-        ("large_pcg", lambda: stage_large_pcg(ctx, detail), 240),
         ("large_dense_comparator",
          lambda: stage_large_dense_comparator(ctx, detail), 180),
+        ("tridiag_ab", lambda: stage_tridiag_ab(ctx, detail), 120),
+        ("breakdown", lambda: stage_breakdown(ctx, detail), 60),
+        ("large_pcg", lambda: stage_large_pcg(ctx, detail), 240),
         ("pallas", lambda: stage_pallas(ctx, detail), 150),
     ]
     for name, fn, min_budget in optional:
