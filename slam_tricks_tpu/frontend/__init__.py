@@ -15,3 +15,8 @@ from slam_tricks_tpu.frontend.optical_flow import (  # noqa: F401
     grid_seed_points,
     lk_track,
 )
+from slam_tricks_tpu.frontend.orb import (  # noqa: F401
+    OrbFeatures,
+    orb_detect,
+    orb_match,
+)
