@@ -373,16 +373,12 @@ def _banded_quantities(poses, points_s, bw: BandedWork, C, loss=None,
     return Hpp_flat, gp, Hll, jnp.stack(gl), W, cost
 
 
-def _solve_banded(Hpp_flat, gp, Hll, gl, W, lam, fixed_mask, bw: BandedWork,
-                  C, psum_axis=None):
-    """Damped, gauge-fixed EXACT solve of the reduced camera system via the
-    super-block tridiagonal factorization; landmark back-substitution.
-
-    psum_axis: band blocks and the rhs camera reduction are per-device
-    partials — two psums (K*(C,36) stacked + (C,6)); the super-block
-    factorization/solve is replicated and the landmark back-substitution
-    stays local."""
-    dtype = gp.dtype
+def _assemble_bands(Hpp_flat, Hll, W, lam, fixed_mask, bw: BandedWork, C,
+                    psum_axis=None):
+    """Damped, gauge-fixed band blocks of the reduced camera system plus the
+    landmark-inverse columns. Returns (bands list of (C,6,6), hinv, dpp,
+    dll, free)."""
+    dtype = Hpp_flat.dtype
     K = W.shape[0]
     Lpad = W.shape[2]
     chunk = Lpad // bw.onehot.shape[0]
@@ -431,20 +427,14 @@ def _solve_banded(Hpp_flat, gp, Hll, gl, W, lam, fixed_mask, bw: BandedWork,
         # rows c >= C-o of band o are padding (S[c+o,c] needs c+o < C)
         mask = (jnp.arange(C) < C - o).astype(dtype)
         bands[o] = bands[o] * mask[:, None, None]
+    return bands, hinv, dpp, dll, free
 
-    # rhs: b = -(gp - W Hll^-1 gl)
-    u = _mat3vec_flat(hinv, [gl[0], gl[1], gl[2]])           # 3 x (Lpad,)
-    y = jnp.zeros((C, 6), dtype)
-    for k in range(K):
-        cols = [sum(W[k, i * 3 + j] * u[j] for j in range(3))
-                for i in range(6)]
-        y = y + _cam_accum(cols, k, bw.onehot, chunk)
-    if psum_axis is not None:
-        y = jax.lax.psum(y, psum_axis)
-    b = -(gp - y) * free[:, None]
 
-    # super-block grouping: m = 6*K, G = ceil(C/K); pad cameras to G*K with
-    # identity diagonal blocks (they carry zero rhs)
+def _group_superblocks(bands, C, K, dtype):
+    """Group band blocks into the super-block tridiagonal (Dm (G,m,m),
+    Em (G-1,m,m) or None), padding cameras to a multiple of Kb = max(K,2)
+    with identity diagonal blocks."""
+    eye6 = jnp.eye(6, dtype=dtype)
     Kb = max(K, 2)
     G = -(-C // Kb)
     Cp = G * Kb
@@ -453,9 +443,8 @@ def _solve_banded(Hpp_flat, gp, Hll, gl, W, lam, fixed_mask, bw: BandedWork,
         z6 = jnp.zeros((padc, 6, 6), dtype)
         bands = [jnp.concatenate([bo, z6], axis=0) for bo in bands]
         bands[0] = bands[0].at[C:, :, :].set(eye6[None])
-        b = jnp.concatenate([b, jnp.zeros((padc, 6), dtype)], axis=0)
     if K < Kb:  # K == 1: keep a zero first off-diagonal band for grouping
-        bands.append(jnp.zeros((Cp, 6, 6), dtype))
+        bands = bands + [jnp.zeros((Cp, 6, 6), dtype)]
 
     m = 6 * Kb
     # D'[g] (m,m): entry (r+o, r) from bands[o][g*Kb + r], r+o < Kb
@@ -473,9 +462,45 @@ def _solve_banded(Hpp_flat, gp, Hll, gl, W, lam, fixed_mask, bw: BandedWork,
                 # row r+o lands in the next super-block at r+o-Kb
                 Eg = Eg.at[:, r + o - Kb, r].set(blk[:-1, r])
     Dm = Dg.transpose(0, 1, 3, 2, 4).reshape(G, m, m)
+    Em = (Eg.transpose(0, 1, 3, 2, 4).reshape(G - 1, m, m)
+          if G > 1 else None)
+    return Dm, Em, G, Kb, Cp
+
+
+def _solve_banded(Hpp_flat, gp, Hll, gl, W, lam, fixed_mask, bw: BandedWork,
+                  C, psum_axis=None):
+    """Damped, gauge-fixed EXACT solve of the reduced camera system via the
+    super-block tridiagonal factorization; landmark back-substitution.
+
+    psum_axis: band blocks and the rhs camera reduction are per-device
+    partials — two psums (K*(C,36) stacked + (C,6)); the super-block
+    factorization/solve is replicated and the landmark back-substitution
+    stays local."""
+    dtype = gp.dtype
+    K = W.shape[0]
+    Lpad = W.shape[2]
+    chunk = Lpad // bw.onehot.shape[0]
+
+    bands, hinv, dpp, dll, free = _assemble_bands(
+        Hpp_flat, Hll, W, lam, fixed_mask, bw, C, psum_axis=psum_axis)
+
+    # rhs: b = -(gp - W Hll^-1 gl)
+    u = _mat3vec_flat(hinv, [gl[0], gl[1], gl[2]])           # 3 x (Lpad,)
+    y = jnp.zeros((C, 6), dtype)
+    for k in range(K):
+        cols = [sum(W[k, i * 3 + j] * u[j] for j in range(3))
+                for i in range(6)]
+        y = y + _cam_accum(cols, k, bw.onehot, chunk)
+    if psum_axis is not None:
+        y = jax.lax.psum(y, psum_axis)
+    b = -(gp - y) * free[:, None]
+
+    Dm, Em, G, Kb, Cp = _group_superblocks(bands, C, K, dtype)
+    m = 6 * Kb
+    if Cp > C:
+        b = jnp.concatenate([b, jnp.zeros((Cp - C, 6), dtype)], axis=0)
     rm = b.reshape(G, m)
     if G > 1:
-        Em = Eg.transpose(0, 1, 3, 2, 4).reshape(G - 1, m, m)
         dp = block_tridiag_solve(Dm, Em, rm).reshape(Cp, 6)[:C]
     else:
         Lc = jax.lax.linalg.cholesky(Dm[0])
@@ -576,3 +601,64 @@ def solve_ba_banded(poses0, points0, bw: BandedWork, *, fixed_mask=None,
         return final
     points_out = points0.at[bw.scatter_idx].set(final.points, mode="drop")
     return final._replace(points=points_out)
+
+
+def banded_pose_covariances(poses, points, bw: BandedWork, fixed_mask, *,
+                            lam=0.0, loss=None):
+    """Marginal 6x6 pose covariances at the solution for trajectory problems
+    — the Ceres `Covariance` role at scales the dense path (covariance.py,
+    O((6C)^3) + (C,L,6,3) memory) cannot reach.
+
+    Exact diagonal blocks of S^-1 for the block-tridiagonal super-block
+    system via the Takahashi two-sweep recursion:
+
+      forward   M_g = (D_g - E_{g-1} M_{g-1} E_{g-1}^T)^{-1}
+      backward  P_{G-1} = M_{G-1};  P_g = M_g + M_g E_g^T P_{g+1} E_g M_g
+
+    (verified against the Woodbury identity at G=2). The (6K,6K) super-block
+    diagonals contain every per-camera 6x6 marginal. Fixed cameras get zero.
+    `points` must be in ORIGINAL landmark order (as returned by
+    solve_ba_banded)."""
+    C = poses.t.shape[0]
+    dtype = points.dtype
+    points_s = points[bw.gather_idx]
+    Hpp_flat, _, Hll, _, W, _ = _banded_quantities(poses, points_s, bw, C,
+                                                   loss=loss)
+    K = W.shape[0]
+    bands, _, _, _, free = _assemble_bands(
+        Hpp_flat, Hll, W, jnp.asarray(lam, dtype), fixed_mask, bw, C)
+    Dm, Em, G, Kb, Cp = _group_superblocks(bands, C, K, dtype)
+    m = 6 * Kb
+
+    inv = _batched_spd_inverse
+    mm = lambda a, b: jnp.einsum("ij,jk->ik", a, b, precision=HIGHEST)
+
+    if G == 1:
+        P = inv(Dm)
+    else:
+        M0 = inv(Dm[0][None])[0]
+
+        def fwd(Mp, DE):
+            Dg, Eg = DE
+            T = mm(Eg, Mp)
+            Mg = inv((Dg - jnp.einsum("ik,jk->ij", T, Eg,
+                                      precision=HIGHEST))[None])[0]
+            return Mg, Mg
+
+        _, Ms = jax.lax.scan(fwd, M0, (Dm[1:], Em))
+        M = jnp.concatenate([M0[None], Ms])
+
+        def bwd(Pn, ME):
+            Mg, Eg = ME
+            T = mm(jnp.swapaxes(Eg, 0, 1), Pn)          # E_g^T P_{g+1}
+            Pg = Mg + mm(mm(Mg, mm(T, Eg)), Mg)
+            return Pg, Pg
+
+        _, Ps = jax.lax.scan(bwd, M[-1], (M[:-1], Em), reverse=True)
+        P = jnp.concatenate([Ps, M[-1][None]])
+
+    # extract per-camera 6x6 diagonals from the (m, m) super-blocks
+    Pr = P.reshape(G, Kb, 6, Kb, 6)
+    cov = jax.vmap(lambda g: jax.vmap(lambda r: Pr[g, r, :, r, :])(
+        jnp.arange(Kb)))(jnp.arange(G)).reshape(Cp, 6, 6)[:C]
+    return cov * free[:, None, None]

@@ -124,3 +124,21 @@ def test_rejects_non_trajectory_structure():
     with pytest.raises(ValueError):
         banded_flat.build_banded_work(scene.obs, scene.n_cams, scene.n_points,
                                       max_band=3)
+
+
+def test_pose_covariances_match_dense():
+    """Takahashi banded covariances must equal the dense S^-1 diagonals
+    (solvers/covariance.ba_covariances) at the converged solution."""
+    from slam_tricks_tpu.solvers.covariance import ba_covariances
+
+    scene, poses0, points0, fixed, bw = _problem(n_cams=20, n_points=300,
+                                                 track_len=5, seed=75)
+    out = banded_flat.solve_ba_banded(poses0, points0, bw, fixed_mask=fixed,
+                                      max_iters=15)
+    dense_cov, _ = ba_covariances(out.poses, out.points, scene.obs, fixed,
+                                  lam=1e-8)
+    band_cov = banded_flat.banded_pose_covariances(out.poses, out.points, bw,
+                                                   fixed, lam=1e-8)
+    scale = float(jnp.max(jnp.abs(dense_cov)))
+    np.testing.assert_allclose(np.asarray(band_cov), np.asarray(dense_cov),
+                               atol=1e-8 * scale, rtol=1e-5)
