@@ -14,3 +14,8 @@ from slam_tricks_tpu.solvers.schur_flat import (  # noqa: F401
     build_flat_work,
     solve_ba_flat,
 )
+from slam_tricks_tpu.solvers.sliding_window import (  # noqa: F401
+    WindowPrior,
+    run_sliding_window,
+    solve_window,
+)

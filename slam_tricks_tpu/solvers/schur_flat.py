@@ -273,13 +273,18 @@ def _iteration_quantities(poses, points, obs, work, n_cams, n_points,
 
 
 def _solve_flat(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask, work,
-                n_cams, n_points, chol_backend="xla"):
+                n_cams, n_points, chol_backend="xla", prior=None):
     """Damped Schur solve from flat blocks. Returns (dp (C,6), dl (L,3),
     diag terms for the gain ratio).
 
     chol_backend: "xla" uses jax.scipy cho_factor/cho_solve; "pallas" uses the
     fused single-kernel factor+substitute of ops/pallas_chol.py
-    ("pallas_interpret" for CPU testing)."""
+    ("pallas_interpret" for CPU testing).
+
+    prior: optional (H (P,P), g (P,)) Gaussian prior on the tangent of the
+    FIRST P//6 cameras (the sliding-window marginalization prior,
+    solvers/sliding_window.py): H is added to the head of the reduced camera
+    system and -g to its rhs — the cameras it covers must be free."""
     dtype = gp.dtype
     C, L = n_cams, n_points
     K = work.table.obs_idx.shape[1]
@@ -354,6 +359,11 @@ def _solve_flat(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask, work,
     S = S + eye_c * (fixed_mask.astype(dtype)[:, None, None, None]
                      * jnp.eye(6, dtype=dtype)[None, :, None, :])
     b = b * free[:, None]
+    if prior is not None:
+        Hp, gpr = prior
+        P = Hp.shape[0]
+        S = S.reshape(C * 6, C * 6).at[:P, :P].add(Hp).reshape(C, 6, C, 6)
+        b = b.reshape(-1).at[:P].add(-gpr).reshape(C, 6)
     if chol_backend.startswith("pallas"):
         from slam_tricks_tpu.ops.pallas_chol import chol_solve
         dp = chol_solve(S.reshape(C * 6, C * 6), b.reshape(C * 6),
