@@ -69,15 +69,26 @@ def match_descriptors(d1, d2, ratio=0.9, valid1=None, valid2=None, min_sim=0.6):
     return best2, ok
 
 
-def pairwise_homography(key, img1, img2, n_corners=256, inlier_px=2.0):
+def pairwise_homography(key, img1, img2, n_corners=256, inlier_px=2.0,
+                        features="harris"):
     """Estimate H mapping img1 coords -> img2 coords via corners+RANSAC.
-    Returns (H, n_inliers)."""
-    s1, xy1 = harris_corners(img1, n_corners)
-    s2, xy2 = harris_corners(img2, n_corners)
-    d1 = patch_descriptors(img1, xy1)
-    d2 = patch_descriptors(img2, xy2)
-    m_idx, m_ok = match_descriptors(d1, d2, valid1=jnp.isfinite(s1),
-                                    valid2=jnp.isfinite(s2))
+    Returns (H, n_inliers). features: "harris" (NCC patches) or "orb"
+    (rotation-steered binary descriptors, frontend/orb.py — the reference's
+    actual feature choice, panorama.cpp ORB matches)."""
+    if features == "orb":
+        from slam_tricks_tpu.frontend.orb import orb_detect, orb_match
+
+        f1 = orb_detect(img1, n=n_corners)
+        f2 = orb_detect(img2, n=n_corners)
+        m_idx, m_ok = orb_match(f1, f2)
+        xy1, xy2 = f1.xy, f2.xy
+    else:
+        s1, xy1 = harris_corners(img1, n_corners)
+        s2, xy2 = harris_corners(img2, n_corners)
+        d1 = patch_descriptors(img1, xy1)
+        d2 = patch_descriptors(img2, xy2)
+        m_idx, m_ok = match_descriptors(d1, d2, valid1=jnp.isfinite(s1),
+                                        valid2=jnp.isfinite(s2))
     src = xy1
     dst = xy2[m_idx]
     w = m_ok.astype(img1.dtype)

@@ -250,7 +250,6 @@ def run_sliding_window(obs, poses_init, points_init, *, window=24, shift=12,
     solve_jit = jax.jit(solve_window, static_argnames=("max_iters",))
     diagnostics = []
     prior = empty_prior(na, dtype)
-    prev_end = 0
     for wi, w0 in enumerate(starts):
         m = ((w_np > 0) & (cam >= w0) & (cam < w0 + window)
              & ~consumed[lm])
@@ -306,7 +305,6 @@ def run_sliding_window(obs, poses_init, points_init, *, window=24, shift=12,
             n_drop=n_drop, na=na,
             fixed_mask=fixed if wi == 0 else None)
         consumed[used] = True
-        prev_end = w0 + window
 
     poses = se3.SE3(jnp.asarray(est_R), jnp.asarray(est_t))
     return poses, jnp.asarray(est_p), diagnostics

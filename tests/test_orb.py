@@ -89,3 +89,21 @@ def test_real_image_pair_consistency():
     med = np.median(xy2 - xy1, axis=0)
     agree = np.linalg.norm((xy2 - xy1) - med, axis=1) < 20.0
     assert agree.mean() > 0.5, float(agree.mean())
+
+
+def test_orb_in_panorama_pipeline():
+    """ORB as the feature path of the st11 homography estimator."""
+    import jax
+
+    from slam_tricks_tpu.pipelines.panorama import apply_h, pairwise_homography
+
+    img = _synthetic(seed=9)
+    # pure translation "pan"
+    t = np.zeros_like(img)
+    t[:, :-40] = img[:, 40:]
+    H, n_in = pairwise_homography(jax.random.PRNGKey(0), jnp.asarray(img),
+                                  jnp.asarray(t), n_corners=256,
+                                  features="orb")
+    assert int(n_in) >= 20
+    pt = apply_h(H, jnp.asarray([[160.0, 120.0]]))
+    np.testing.assert_allclose(np.asarray(pt), [[120.0, 120.0]], atol=2.0)
