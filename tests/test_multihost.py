@@ -65,6 +65,34 @@ def _worker(process_id):
     cost = float(out.cost)
     print(f"WORKER{process_id} FINAL_COST={cost:.6e}", flush=True)
     assert cost < 1e-18, cost
+
+    # distributed banded path over the same 2-process global mesh
+    from slam_tricks_tpu.parallel.banded_dist import (
+        build_dist_banded_work, make_ba_solver_banded_dist)
+    from slam_tricks_tpu.sim import make_trajectory_scene
+    from slam_tricks_tpu.solvers import banded_flat
+
+    tscene = make_trajectory_scene(n_cams=16, n_points=240, track_len=4,
+                                   seed=73, dtype=np.float64)
+    tposes0, tpoints0, tfixed = perturb_scene(tscene, seed=74)
+    dwork = build_dist_banded_work(tscene.obs, 16, 240, 8, dtype=np.float64)
+
+    def glob_lead(a):
+        a = np.asarray(a)
+        return make_global_array(a[process_id * 4:(process_id + 1) * 4],
+                                 mesh, P("obs"))
+
+    local = jax.tree_util.tree_map(glob_lead, dwork.local)
+    dwork_g = dwork._replace(local=local)
+    outb = make_ba_solver_banded_dist(mesh, max_iters=8)(
+        tposes0, tpoints0, dwork_g, tfixed)
+    bw = banded_flat.build_banded_work(tscene.obs, 16, 240, dtype=np.float64)
+    ref = banded_flat.solve_ba_banded(tposes0, tpoints0, bw,
+                                      fixed_mask=tfixed, max_iters=8)
+    cb, cr = float(outb.cost), float(ref.cost)
+    rel = abs(cb - cr) / max(cr, 1e-30)
+    print(f"WORKER{process_id} BANDED_COST={cb:.6e} REL={rel:.2e}", flush=True)
+    assert rel < 1e-6, (cb, cr)
     jax.distributed.shutdown()
 
 
@@ -93,6 +121,9 @@ def test_two_process_distributed_ba():
     costs = [float(re.search(r"FINAL_COST=([\d.e+-]+)", o).group(1)) for o in outs]
     assert costs[0] == costs[1]
     assert costs[0] < 1e-18
+    bcosts = [float(re.search(r"BANDED_COST=([\d.e+-]+)", o).group(1))
+              for o in outs]
+    assert bcosts[0] == bcosts[1]
 
 
 if __name__ == "__main__" and len(sys.argv) >= 3 and sys.argv[1] == "worker":
