@@ -128,8 +128,26 @@ def stage_headline(detail):
     )
     achieved_tflops = flops / (it_ms * 1e-3) / 1e12
     # v5e litepod chip peak: 197 TFLOP/s bf16; HIGHEST-precision f32 matmuls
-    # run 6 bf16 passes -> ~32.8 TFLOP/s effective ceiling for this workload
+    # run 6 bf16 passes -> ~32.8 TFLOP/s derived ceiling for this workload.
+    # VALIDATE it (VERDICT r2 weak item 6): measure the actual ceiling with
+    # a large f32-HIGHEST matmul on this chip, this run.
     peak_tflops = 197.0 / 6.0
+    import jax.numpy as jnp
+
+    nmm = 1024 if SMOKE else 4096
+    reps_mm = 2 if SMOKE else 16     # amortize the ~30 ms tunnel dispatch
+    a = jnp.ones((nmm, nmm), np.float32)
+
+    @jax.jit
+    def mmf(a):
+        def body(i, x):
+            y = jax.lax.dot_general(x, a, (((1,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST)
+            return y / jnp.maximum(jnp.abs(y[0, 0]), 1.0)
+        return jax.lax.fori_loop(0, reps_mm, body, a)
+
+    dt_mm, _ = _timeit(mmf, a)
+    measured_peak = reps_mm * 2 * nmm ** 3 / dt_mm / 1e12
     detail.update({
         "n_cams": C, "n_points": L, "n_obs": n_obs,
         "final_cost": float(out.cost), "lm_iters": iters,
@@ -138,6 +156,9 @@ def stage_headline(detail):
         "flops_per_iter": flops,
         "achieved_tflops": round(achieved_tflops, 3),
         "mfu_vs_f32_highest_peak": round(achieved_tflops / peak_tflops, 4),
+        "measured_f32_highest_peak_tflops": round(measured_peak, 2),
+        "mfu_vs_measured_peak": round(achieved_tflops
+                                      / max(measured_peak, 1e-9), 4),
     })
     ctx = {"scene": scene, "poses0_h": poses0_h, "points0_h": points0_h,
            "fixed_h": fixed_h, "poses0": poses0, "points0": points0,
