@@ -99,12 +99,20 @@ def stage_headline(detail):
             scene = make_scene(n_per_wall=400, n_cams=96, seed=0, dtype=dtype)
         poses0_h, points0_h, fixed_h = perturb_scene(scene, seed=1)
         C, L = scene.n_cams, scene.n_points
-        work_h = schur_flat.build_flat_work(scene.obs, C, L, dtype=dtype)
+        # track-grid layout: obs row l*K+k = slot k of landmark l, turning
+        # every (L,K,.) track gather into a reshape — measured 4.05 vs
+        # 4.66 ms/iter against the gather layout (recorded below)
+        obs_h = schur_flat.grid_order_obs(scene.obs, L, dtype=dtype)
+        work_h = schur_flat.build_flat_work(obs_h, C, L, dtype=dtype,
+                                            grid=True)
+        work_gather_h = schur_flat.build_flat_work(scene.obs, C, L,
+                                                   dtype=dtype)
     dev = jax.devices()[0]
-    poses0, points0, fixed, obs, work = jax.device_put(
-        (poses0_h, points0_h, fixed_h, scene.obs, work_h), dev)
+    poses0, points0, fixed, obs, work, obs_ga, work_ga = jax.device_put(
+        (poses0_h, points0_h, fixed_h, obs_h, work_h, scene.obs,
+         work_gather_h), dev)
     n_obs = int(np.sum(np.asarray(scene.obs.weight) > 0))
-    K = work.table.obs_idx.shape[1]
+    K = work.mask_lk.shape[1]
     max_iters = 20
 
     solve = jax.jit(schur_flat.solve_ba_flat, static_argnames=("max_iters",))
@@ -113,6 +121,9 @@ def stage_headline(detail):
     iters = int(out.it)
     iters_per_s = iters / dt
     it_ms = dt * 1e3 / max(iters, 1)
+    dt_ga, out_ga = _timeit(lambda: solve(poses0, points0, obs_ga, work_ga,
+                                          fixed_mask=fixed,
+                                          max_iters=max_iters))
 
     # useful-FLOP estimate and achieved rate
     N = obs.cam_idx.shape[0]
@@ -152,7 +163,8 @@ def stage_headline(detail):
         "n_cams": C, "n_points": L, "n_obs": n_obs,
         "final_cost": float(out.cost), "lm_iters": iters,
         "ms_per_iter": round(it_ms, 3),
-        "headline_path": "xla-flat",
+        "headline_path": "xla-flat-grid",
+        "gather_layout_iters_per_s": round(int(out_ga.it) / dt_ga, 2),
         "flops_per_iter": flops,
         "achieved_tflops": round(achieved_tflops, 3),
         "mfu_vs_f32_highest_peak": round(achieved_tflops / peak_tflops, 4),
@@ -481,7 +493,8 @@ def stage_pallas(ctx, detail):
             max_iters=max_iters, chol_backend=chol_be),
     }
     vres = detail.setdefault("variant_iters_per_s",
-                             {"xla-flat": round(ctx["xla_iters_per_s"], 2)})
+                             {"xla-flat-grid": round(ctx["xla_iters_per_s"],
+                                                     2)})
     for name, fn in variants.items():
         if _left() < (0 if SMOKE else 120):
             detail.setdefault("skipped", []).append(name)

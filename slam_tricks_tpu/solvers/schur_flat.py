@@ -81,6 +81,9 @@ def _linearize_flat(R_flat, t, points, cam_idx, lm_idx, uv, weight,
     x = r_[0] * px + r_[1] * py + r_[2] * pz + tn[:, 0]
     y = r_[3] * px + r_[4] * py + r_[5] * pz + tn[:, 1]
     z = r_[6] * px + r_[7] * py + r_[8] * pz + tn[:, 2]
+    # weight-0 padding rows can hit arbitrary camera/point pairs; keep them
+    # finite so 0 * inf never makes a NaN
+    z = jnp.where(weight > 0, z, 1.0)
     iz = 1.0 / z
     u = x * iz
     v = y * iz
@@ -171,26 +174,47 @@ def _mat3vec_flat(m6, v):
 
 class FlatWork(NamedTuple):
     """Static per-problem index structure for the flat solver."""
-    table: TrackTable          # (L, K) track table
+    table: TrackTable          # (L, K) track table; None in GRID mode
     cam_of_track: jnp.ndarray  # (L, K) int32 camera of each track slot
     oh_c: jnp.ndarray          # (N, C) one-hot of cam_idx, or None (large C)
     cam_table: jnp.ndarray     # (C, Kc) int32 obs per camera, or None
     cam_mask: jnp.ndarray      # (C, Kc), or None
+    mask_lk: jnp.ndarray       # (L, K) GRID mode: obs stored in track-grid
+                               # order (row l*K+k = slot k of landmark l), so
+                               # every (L,K,.) "gather" is a pure reshape;
+                               # None otherwise. Built by grid_order_obs +
+                               # build_flat_work(grid=True).
 
 
 def build_flat_work(obs, n_cams, n_points, dtype=np.float32,
-                    use_cam_table=None):
+                    use_cam_table=None, grid=False):
     """Host-side: track table + per-slot camera index + the camera-side
     reduction structure. Small C uses a dense (N, C) one-hot (ONE MXU matmul
     per reduction); large C switches to a (C, Kc) camera gather table — the
     one-hot would be O(N*C) memory (6.5 GB at N=1.6M, C=1024).
-    use_cam_table=None -> auto (C > 128)."""
+    use_cam_table=None -> auto (C > 128).
+
+    grid=True: `obs` must come from grid_order_obs — row l*K+k is slot k of
+    landmark l, so the landmark-side reductions and the whitening become
+    reshapes instead of 100k-row gathers (round-3 finding: a TPU gather
+    costs ~10-20 ns PER ROW regardless of width)."""
     from slam_tricks_tpu.solvers.schur import build_track_table
 
     table = build_track_table(obs.cam_idx, obs.lm_idx, obs.weight,
                               n_points=n_points, dtype=dtype)
     cam_np = np.asarray(obs.cam_idx)
     cam_of_track = jnp.asarray(cam_np[np.asarray(table.obs_idx)])
+    mask_lk = None
+    if grid:
+        K = table.obs_idx.shape[1]
+        expect = np.arange(n_points * K, dtype=np.int64).reshape(n_points, K)
+        tmask = np.asarray(table.mask) > 0
+        if not np.array_equal(np.asarray(table.obs_idx)[tmask],
+                              expect[tmask]):
+            raise ValueError("grid=True requires grid_order_obs layout")
+        mask_lk = table.mask
+        cam_of_track = jnp.asarray(cam_np.reshape(n_points, K))
+        table = None
     if use_cam_table is None:
         use_cam_table = n_cams > 128
     if use_cam_table:
@@ -209,12 +233,13 @@ def build_flat_work(obs, n_cams, n_points, dtype=np.float32,
         cam_mask[cam_np[order], slot] = 1
         return FlatWork(table=table, cam_of_track=cam_of_track, oh_c=None,
                         cam_table=jnp.asarray(cam_table),
-                        cam_mask=jnp.asarray(cam_mask))
+                        cam_mask=jnp.asarray(cam_mask), mask_lk=mask_lk)
     oh = (cam_np[:, None] == np.arange(n_cams)[None, :]).astype(dtype)
     # padding rows (weight 0) contribute zero to every reduction because all
     # per-obs quantities are pre-weighted by sqrt(weight) = 0
     return FlatWork(table=table, cam_of_track=cam_of_track,
-                    oh_c=jnp.asarray(oh), cam_table=None, cam_mask=None)
+                    oh_c=jnp.asarray(oh), cam_table=None, cam_mask=None,
+                    mask_lk=mask_lk)
 
 
 def _iteration_quantities(poses, points, obs, work, n_cams, n_points,
@@ -260,8 +285,13 @@ def _iteration_quantities(poses, points, obs, work, n_cams, n_points,
     lcols = [_dot2(jl0[i], jl1[i], jl0[j], jl1[j]) for (i, j) in _IJ3]
     lcols += [_dot2(jl0[i], jl1[i], r0, r1) for i in range(3)]
     lm_stack = jnp.stack(lcols, axis=1)                           # (N, 9)
-    lm_t = lm_stack[work.table.obs_idx]                           # (L, K, 9)
-    lm_red = jnp.sum(lm_t * work.table.mask[..., None], axis=1)   # (L, 9)
+    if work.table is None:   # grid layout: the gather is a reshape
+        K = work.mask_lk.shape[1]
+        lm_t = lm_stack.reshape(L, K, 9)
+        lm_red = jnp.sum(lm_t * work.mask_lk[..., None], axis=1)  # (L, 9)
+    else:
+        lm_t = lm_stack[work.table.obs_idx]                       # (L, K, 9)
+        lm_red = jnp.sum(lm_t * work.table.mask[..., None], axis=1)
     Hll_flat = [lm_red[:, k] for k in range(6)]
     gl = lm_red[:, 6:9]                                           # (L, 3)
 
@@ -287,7 +317,9 @@ def _solve_flat(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask, work,
     system and -g to its rhs — the cameras it covers must be free."""
     dtype = gp.dtype
     C, L = n_cams, n_points
-    K = work.table.obs_idx.shape[1]
+    grid = work.table is None
+    tmask = work.mask_lk if grid else work.table.mask
+    K = tmask.shape[1]
 
     # damping on flat diagonals
     dpp = [jnp.maximum(Hpp_flat[:, k], 1e-12)
@@ -312,8 +344,10 @@ def _solve_flat(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask, work,
     lc = _chol3_flat(Hll_d)                                        # 6 cols (L,)
     # every slot of track row l belongs to landmark l -> broadcast, no gather
     lcn = [c[:, None] for c in lc]                                 # (L,1) each
-    # W gathered to tracks: (L, K, 18) row-major (6, 3)
-    W_t = W[work.table.obs_idx] * work.table.mask[..., None]
+    # W in track layout: (L, K, 18) row-major (6, 3) — a reshape in grid
+    # mode, a gather otherwise
+    W_t = (W.reshape(L, K, 18) if grid else W[work.table.obs_idx]) \
+        * tmask[..., None]
     # forward substitution per column j of W^T (3 rows): for each of 6 j's
     l00, l10, l11, l20, l21, l22 = lcn
     i00 = 1.0 / l00
@@ -329,7 +363,7 @@ def _solve_flat(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask, work,
                      jnp.stack(x1, axis=-1),
                      jnp.stack(x2, axis=-1)], axis=2)              # (L,K,3,6)
     oh_ct = (jax.nn.one_hot(work.cam_of_track, C, dtype=dtype)
-             * work.table.mask[..., None])                         # (L,K,C)
+             * tmask[..., None])                                   # (L,K,C)
     B = jax.lax.dot_general(
         oh_ct, X_t.reshape(L, K, 18),
         (((1,), (1,)), ((0,), (0,))), precision=HIGHEST)           # (L,C,18)
@@ -343,7 +377,7 @@ def _solve_flat(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask, work,
     # rhs: b = -(gp - W Hll^-1 gl), camera reduction via the one-hot matmul
     u = _mat3vec_flat(Hll_inv, [gl[:, 0], gl[:, 1], gl[:, 2]])     # 3 x (L,)
     # every slot of track row l belongs to landmark l -> broadcast, no gather
-    ug = [c[:, None] * work.table.mask for c in u]                 # (L,K) x3
+    ug = [c[:, None] * tmask for c in u]                           # (L,K) x3
     # y per track-slot: (L,K,6) then reduce per camera via one-hot track
     y_t = jnp.stack([W_t[..., i * 3 + 0] * ug[0]
                      + W_t[..., i * 3 + 1] * ug[1]
@@ -509,3 +543,31 @@ def solve_ba_flat(poses0, points0, obs, work: FlatWork, *, fixed_mask=None,
 
 solve_ba_flat_jit = jax.jit(partial(solve_ba_flat),
                             static_argnames=("max_iters",))
+
+
+def grid_order_obs(obs, n_points, dtype=np.float32):
+    """Host-side: reorder observations into TRACK-GRID order — row l*K+k is
+    the k-th observation of landmark l (weight-0 padding in unused slots, the
+    padding row's lm_idx is l itself so point gathers stay in-bounds).
+
+    Pass the result to build_flat_work(..., grid=True): every (L, K, .)
+    track "gather" in the solver then becomes a pure reshape of contiguous
+    data. Cost: N grows to L*K (the bench cube-room scene: +38%); win: the
+    ~100k-row track gathers (10-20 ns/row each) disappear."""
+    from slam_tricks_tpu.solvers.schur import build_track_table
+
+    table = build_track_table(obs.cam_idx, obs.lm_idx, obs.weight,
+                              n_points=n_points, dtype=dtype)
+    idx = np.asarray(table.obs_idx)              # (L, K)
+    msk = np.asarray(table.mask) > 0
+    L, K = idx.shape
+    flat = idx.reshape(-1)
+    mflat = msk.reshape(-1)
+
+    cam = np.asarray(obs.cam_idx)[flat].astype(np.int32)
+    lm = np.repeat(np.arange(L, dtype=np.int32), K)
+    uv = np.asarray(obs.uv)[flat].astype(dtype)
+    w = np.where(mflat, np.asarray(obs.weight)[flat], 0.0).astype(dtype)
+    cam = np.where(mflat, cam, 0).astype(np.int32)
+    return type(obs)(cam_idx=jnp.asarray(cam), lm_idx=jnp.asarray(lm),
+                     uv=jnp.asarray(uv), weight=jnp.asarray(w))

@@ -135,3 +135,41 @@ def test_full_solve_f32():
         poses2, points2, scene2.obs, work2, fixed_mask=fixed2, max_iters=30)
     rms2 = np.sqrt(float(flat2.cost) / float(jnp.sum(scene2.obs.weight)))
     assert rms2 < 1e-5, rms2
+
+
+def test_grid_layout_parity():
+    """Track-grid mode (gathers -> reshapes) must match the gather path
+    exactly: blocks, one damped step, and the full solve."""
+    from slam_tricks_tpu.solvers.schur_flat import grid_order_obs
+
+    scene, poses0, points0, fixed, work = _problem()
+    C, L = scene.n_cams, scene.n_points
+    obs_g = grid_order_obs(scene.obs, L, dtype=np.float64)
+    work_g = schur_flat.build_flat_work(obs_g, C, L, dtype=np.float64,
+                                        grid=True)
+
+    Hf, gpf, Hlf, glf, Wf, costf = schur_flat._iteration_quantities(
+        poses0, points0, scene.obs, work, C, L)
+    Hg, gpg, Hlg, glg, Wg, costg = schur_flat._iteration_quantities(
+        poses0, points0, obs_g, work_g, C, L)
+    np.testing.assert_allclose(float(costg), float(costf), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Hg), np.asarray(Hf), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(gpg), np.asarray(gpf), atol=1e-12)
+    for a, b in zip(Hlg, Hlf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(glg), np.asarray(glf), atol=1e-12)
+
+    lam = jnp.asarray(1e-4)
+    dp0, dl0, _, _ = schur_flat._solve_flat(Hf, gpf, Hlf, glf, Wf, lam,
+                                            fixed, work, C, L)
+    dp1, dl1, _, _ = schur_flat._solve_flat(Hg, gpg, Hlg, glg, Wg, lam,
+                                            fixed, work_g, C, L)
+    np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp0), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(dl1), np.asarray(dl0), atol=1e-11)
+
+    ref = schur_flat.solve_ba_flat(poses0, points0, scene.obs, work,
+                                   fixed_mask=fixed, max_iters=10)
+    out = jax.jit(schur_flat.solve_ba_flat, static_argnames=("max_iters",))(
+        poses0, points0, obs_g, work_g, fixed_mask=fixed, max_iters=10)
+    np.testing.assert_allclose(float(out.cost), float(ref.cost), rtol=1e-8,
+                               atol=1e-25)
