@@ -142,3 +142,17 @@ def test_pose_covariances_match_dense():
     scale = float(jnp.max(jnp.abs(dense_cov)))
     np.testing.assert_allclose(np.asarray(band_cov), np.asarray(dense_cov),
                                atol=1e-8 * scale, rtol=1e-5)
+
+
+def test_short_band_k2():
+    """Degenerate band width K=2 exercises the K < Kb grouping branch and
+    the minimal super-block tridiagonal."""
+    scene, poses0, points0, fixed, bw = _problem(n_cams=24, n_points=400,
+                                                 track_len=2, seed=79)
+    C, L = scene.n_cams, scene.n_points
+    work = schur_flat.build_flat_work(scene.obs, C, L, dtype=np.float64)
+    kw = dict(fixed_mask=fixed, max_iters=6)
+    ref = schur_flat.solve_ba_flat(poses0, points0, scene.obs, work, **kw)
+    out = banded_flat.solve_ba_banded(poses0, points0, bw, **kw)
+    np.testing.assert_allclose(float(out.cost), float(ref.cost), rtol=1e-6,
+                               atol=1e-20)

@@ -76,3 +76,23 @@ def test_windowed_odometry_vs_batch():
     # windowed estimation must recover most of the batch improvement
     assert ate_sw < 0.5 * ate_init, (ate_sw, ate_init)
     assert ate_sw < 5.0 * max(ate_batch, 1e-4), (ate_sw, ate_batch)
+
+
+def test_single_window_covers_everything():
+    """window == C degenerates to one batch solve (no marginalization)."""
+    dtype = np.float64
+    scene = make_trajectory_scene(n_cams=12, n_points=200, track_len=3,
+                                  seed=97, dtype=dtype)
+    poses0, points0, fixed = perturb_scene(scene, seed=98)
+    poses_sw, _, diag = sliding_window.run_sliding_window(
+        scene.obs, poses0, points0, window=12, shift=6, na=3, max_iters=10)
+    assert len(diag) == 1
+    # only camera 0 is fixed, so a gauge (rotation/scale about it) remains —
+    # compare ATE after Sim3 alignment
+    from slam_tricks_tpu.evaluation.metrics import align_trajectories
+
+    aligned = align_trajectories(poses_sw, scene.poses_true)
+    ate = float(ate_translation_rmse(aligned, scene.poses_true))
+    a0 = align_trajectories(poses0, scene.poses_true)
+    ate0 = float(ate_translation_rmse(a0, scene.poses_true))
+    assert ate < 0.5 * ate0, (ate, ate0)
