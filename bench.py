@@ -333,7 +333,9 @@ def stage_large_scale(ctx, detail):
         bwork = banded_flat.build_banded_work(scene.obs, C, L, dtype=dtype)
     poses0, points0, fixed, bwork = jax.device_put(
         (poses0, points0, fixed, bwork), ctx["dev"])
-    mi = 5
+    # 12 iterations amortize the ~25-70 ms tunnel dispatch (at 5 iters the
+    # per-iter number swung 22-41 ms across runs from dispatch jitter alone)
+    mi = 12
 
     solve = jax.jit(banded_flat.solve_ba_banded,
                     static_argnames=("max_iters",))
