@@ -6,6 +6,7 @@ from slam_tricks_tpu.solvers.lm import levenberg_marquardt  # noqa: F401
 from slam_tricks_tpu.solvers.posegraph import solve_pose_graph  # noqa: F401
 from slam_tricks_tpu.solvers.schur import solve_ba, solve_ba_jit  # noqa: F401
 from slam_tricks_tpu.solvers.banded_flat import (  # noqa: F401
+    banded_covariances,
     banded_pose_covariances,
     build_banded_work,
     solve_ba_banded,

@@ -603,6 +603,67 @@ def solve_ba_banded(poses0, points0, bw: BandedWork, *, fixed_mask=None,
     return final._replace(points=points_out)
 
 
+def _takahashi_inverse_blocks(Dm, Em, G):
+    """Diagonal P_g = (S^-1)_{g,g} and sub-diagonal Bsub_g = (S^-1)_{g+1,g}
+    blocks of the block-tridiagonal inverse (two-sweep Takahashi)."""
+    inv = _batched_spd_inverse
+    mm = lambda a, b: jnp.einsum("ij,jk->ik", a, b, precision=HIGHEST)
+
+    if G == 1:
+        return inv(Dm), None
+    M0 = inv(Dm[0][None])[0]
+
+    def fwd(Mp, DE):
+        Dg, Eg = DE
+        T = mm(Eg, Mp)
+        Mg = inv((Dg - jnp.einsum("ik,jk->ij", T, Eg,
+                                  precision=HIGHEST))[None])[0]
+        return Mg, Mg
+
+    _, Ms = jax.lax.scan(fwd, M0, (Dm[1:], Em))
+    M = jnp.concatenate([M0[None], Ms])
+
+    def bwd(Pn, ME):
+        Mg, Eg = ME
+        T = mm(jnp.swapaxes(Eg, 0, 1), Pn)          # E_g^T P_{g+1}
+        Pg = Mg + mm(mm(Mg, mm(T, Eg)), Mg)
+        return Pg, Pg
+
+    _, Ps = jax.lax.scan(bwd, M[-1], (M[:-1], Em), reverse=True)
+    P = jnp.concatenate([Ps, M[-1][None]])
+    # (S^-1)_{g+1,g} = -P_{g+1} E_g M_g (block 2x2 inverse identity,
+    # applied at each elimination step)
+    Bsub = -jnp.einsum("gij,gjk,gkl->gil", P[1:], Em, M[:-1],
+                       precision=HIGHEST)
+    return P, Bsub
+
+
+def _sinv_bands(P, Bsub, C, K, Kb, dtype):
+    """(S^-1)[c+o, c] camera blocks for offsets o = 0..K-1 from the
+    super-block diagonal/sub-diagonal inverse blocks. Returns list of
+    (C, 6, 6) arrays (rows c >= C-o are zero-padded)."""
+    G = P.shape[0]
+    Pr = P.reshape(G, Kb, 6, Kb, 6)
+    Br = (Bsub.reshape(G - 1, Kb, 6, Kb, 6) if Bsub is not None else None)
+    out = []
+    for o in range(K):
+        rows = []
+        for r in range(Kb):
+            if r + o < Kb:
+                blk = Pr[:, r + o, :, r, :]                  # (G, 6, 6)
+            elif Br is not None:
+                b = Br[:, r + o - Kb, :, r, :]               # (G-1, 6, 6)
+                blk = jnp.concatenate(
+                    [b, jnp.zeros((1, 6, 6), dtype)], axis=0)
+            else:
+                blk = jnp.zeros((G, 6, 6), dtype)
+            rows.append(blk)
+        band = jnp.stack(rows, axis=1).reshape(G * Kb, 6, 6)[:C]
+        mask = (jnp.arange(C) < C - o).astype(dtype)
+        out.append(band * mask[:, None, None])
+    return out
+
+
 def banded_pose_covariances(poses, points, bw: BandedWork, fixed_mask, *,
                             lam=0.0, loss=None):
     """Marginal 6x6 pose covariances at the solution for trajectory problems
@@ -619,46 +680,85 @@ def banded_pose_covariances(poses, points, bw: BandedWork, fixed_mask, *,
     diagonals contain every per-camera 6x6 marginal. Fixed cameras get zero.
     `points` must be in ORIGINAL landmark order (as returned by
     solve_ba_banded)."""
+    cov, _ = banded_covariances(poses, points, bw, fixed_mask, lam=lam,
+                                loss=loss, compute_landmarks=False)
+    return cov
+
+
+def banded_covariances(poses, points, bw: BandedWork, fixed_mask, *,
+                       lam=0.0, loss=None, compute_landmarks=False):
+    """(pose_cov (C,6,6), point_cov (L,3,3) or None) at the solution.
+
+    Landmark marginals use the standard back-substitution identity
+    Cov(l) = Hll^-1 + Hll^-1 W_l^T Sinv_l W_l Hll^-1 with Sinv_l the
+    (span x span) camera block of S^-1 over landmark l's track — extracted
+    from the Takahashi diagonal + sub-diagonal super-blocks (a track spans
+    <= K consecutive cameras, so it crosses at most one super-block
+    boundary). All per-landmark algebra is slot-major column arithmetic;
+    the only gathers touch (C, 6, 6) band tables at CHUNK granularity."""
     C = poses.t.shape[0]
+    L = points.shape[0]
     dtype = points.dtype
     points_s = points[bw.gather_idx]
     Hpp_flat, _, Hll, _, W, _ = _banded_quantities(poses, points_s, bw, C,
                                                    loss=loss)
     K = W.shape[0]
-    bands, _, _, _, free = _assemble_bands(
+    Lpad = W.shape[2]
+    chunk = Lpad // bw.onehot.shape[0]
+    bands, hinv, _, _, free = _assemble_bands(
         Hpp_flat, Hll, W, jnp.asarray(lam, dtype), fixed_mask, bw, C)
     Dm, Em, G, Kb, Cp = _group_superblocks(bands, C, K, dtype)
-    m = 6 * Kb
 
-    inv = _batched_spd_inverse
-    mm = lambda a, b: jnp.einsum("ij,jk->ik", a, b, precision=HIGHEST)
-
-    if G == 1:
-        P = inv(Dm)
-    else:
-        M0 = inv(Dm[0][None])[0]
-
-        def fwd(Mp, DE):
-            Dg, Eg = DE
-            T = mm(Eg, Mp)
-            Mg = inv((Dg - jnp.einsum("ik,jk->ij", T, Eg,
-                                      precision=HIGHEST))[None])[0]
-            return Mg, Mg
-
-        _, Ms = jax.lax.scan(fwd, M0, (Dm[1:], Em))
-        M = jnp.concatenate([M0[None], Ms])
-
-        def bwd(Pn, ME):
-            Mg, Eg = ME
-            T = mm(jnp.swapaxes(Eg, 0, 1), Pn)          # E_g^T P_{g+1}
-            Pg = Mg + mm(mm(Mg, mm(T, Eg)), Mg)
-            return Pg, Pg
-
-        _, Ps = jax.lax.scan(bwd, M[-1], (M[:-1], Em), reverse=True)
-        P = jnp.concatenate([Ps, M[-1][None]])
-
-    # extract per-camera 6x6 diagonals from the (m, m) super-blocks
+    P, Bsub = _takahashi_inverse_blocks(Dm, Em, G)
     Pr = P.reshape(G, Kb, 6, Kb, 6)
-    cov = jax.vmap(lambda g: jax.vmap(lambda r: Pr[g, r, :, r, :])(
+    pose_cov = jax.vmap(lambda g: jax.vmap(lambda r: Pr[g, r, :, r, :])(
         jnp.arange(Kb)))(jnp.arange(G)).reshape(Cp, 6, 6)[:C]
-    return cov * free[:, None, None]
+    pose_cov = pose_cov * free[:, None, None]
+    if not compute_landmarks:
+        return pose_cov, None
+
+    # ---- landmark marginals, slot-major ----
+    sb = _sinv_bands(P, Bsub, Cp, K, Kb, dtype)       # offsets 0..K-1
+    c0_chunk = jnp.argmax(bw.onehot, axis=1)          # (LB,)
+    LB = c0_chunk.shape[0]
+
+    def bc(col):                                      # (LB,) -> (Lpad,)
+        return jnp.broadcast_to(col[:, None], (LB, chunk)).reshape(Lpad)
+
+    # V(k) = W(k) Hll^-1 columns, masked at fixed cameras (their S^-1 rows
+    # are spurious identity gauge blocks)
+    freeCp = jnp.concatenate([free, jnp.zeros(Cp - C, dtype)])
+    V = []
+    for k in range(K):
+        fk = bc(freeCp[jnp.clip(c0_chunk + k, 0, Cp - 1)])
+        V.append([sum(W[k, i * 3 + m_] * hinv[_SYM33[m_][j]]
+                      for m_ in range(3)) * fk
+                  for i in range(6) for j in range(3)])
+
+    # accumulate A[j,j'] = sum_{k,k',i,i'} V_k[i,j] Q_{k,k'}[i,i'] V_k'[i',j']
+    A = [[jnp.zeros(Lpad, dtype) for _ in range(3)] for _ in range(3)]
+    for k in range(K):
+        for k2 in range(K):
+            o = k - k2
+            cam = jnp.clip(c0_chunk + min(k, k2), 0, Cp - 1)
+            Qb = sb[abs(o)][cam]                      # (LB, 6, 6)
+            # Q(k,k2) = (S^-1)[c0+k, c0+k2]: band gives [c+|o|, c];
+            # transpose when k < k2
+            if o < 0:
+                Qb = jnp.swapaxes(Qb, -1, -2)
+            q = [[bc(Qb[:, i, i2]) for i2 in range(6)] for i in range(6)]
+            for j in range(3):
+                t = [sum(V[k][i * 3 + j] * q[i][i2] for i in range(6))
+                     for i2 in range(6)]
+                for j2 in range(3):
+                    A[j][j2] = A[j][j2] + sum(
+                        t[i2] * V[k2][i2 * 3 + j2] for i2 in range(6))
+
+    hcols = [[hinv[_SYM33[i][j]] for j in range(3)] for i in range(3)]
+    cov_l = jnp.stack([jnp.stack([hcols[i][j] + A[i][j] for j in range(3)],
+                                 axis=-1) for i in range(3)], axis=-2)
+    observed = (jnp.sum(bw.weight, axis=0) > 0)[:, None, None]
+    cov_l = cov_l * observed
+    point_cov = jnp.zeros((L, 3, 3), dtype).at[bw.scatter_idx].set(
+        cov_l, mode="drop")
+    return pose_cov, point_cov

@@ -64,7 +64,10 @@ def ba_covariances(poses, points, obs, fixed_mask, *, lam=0.0,
         return pose_cov, None
 
     # Cov(l) = Hll_inv_l + sum_{c,e} (Hll^-1 W_cl^T) Sinv[c,e] (Hll^-1 W_el^T)^T
+    # (fixed cameras contribute nothing: their gauge rows of S were replaced
+    # by identity, so Sinv carries spurious 1-blocks there — mask them out)
     HW = jnp.einsum("lik,cljk->clij", Hll_inv, W, precision=HIGHEST)  # (C,L,3,6)
+    HW = HW * free[:, None, None, None]
     point_cov = Hll_inv + jnp.einsum(
         "clij,cjem,elkm->lik", HW, S_inv4, HW, precision=HIGHEST)
     return pose_cov, point_cov

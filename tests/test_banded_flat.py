@@ -156,3 +156,30 @@ def test_short_band_k2():
     out = banded_flat.solve_ba_banded(poses0, points0, bw, **kw)
     np.testing.assert_allclose(float(out.cost), float(ref.cost), rtol=1e-6,
                                atol=1e-20)
+
+
+def test_landmark_covariances_match_dense():
+    """Banded landmark marginals (Takahashi diag + sub-diag blocks) must
+    equal the dense Schur-inverse computation."""
+    from slam_tricks_tpu.solvers.covariance import ba_covariances
+
+    scene, poses0, points0, fixed, bw = _problem(n_cams=20, n_points=250,
+                                                 track_len=5, seed=85)
+    out = banded_flat.solve_ba_banded(poses0, points0, bw, fixed_mask=fixed,
+                                      max_iters=15)
+    dense_pc, dense_lc = ba_covariances(out.poses, out.points, scene.obs,
+                                        fixed, lam=1e-8,
+                                        compute_landmarks=True)
+    band_pc, band_lc = banded_flat.banded_covariances(
+        out.poses, out.points, bw, fixed, lam=1e-8, compute_landmarks=True)
+    ps = float(jnp.max(jnp.abs(dense_pc)))
+    np.testing.assert_allclose(np.asarray(band_pc), np.asarray(dense_pc),
+                               atol=1e-8 * ps, rtol=1e-5)
+    w = np.asarray(scene.obs.weight)
+    lm = np.asarray(scene.obs.lm_idx)
+    observed = np.zeros(scene.n_points, bool)
+    observed[lm[w > 0]] = True
+    ls = float(np.max(np.abs(np.asarray(dense_lc)[observed])))
+    np.testing.assert_allclose(np.asarray(band_lc)[observed],
+                               np.asarray(dense_lc)[observed],
+                               atol=1e-7 * ls, rtol=1e-4)
