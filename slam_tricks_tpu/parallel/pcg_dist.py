@@ -44,7 +44,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from slam_tricks_tpu.parallel.partition import partition_obs_by_landmark  # noqa: F401
 from slam_tricks_tpu.solvers import schur_flat
 from slam_tricks_tpu.solvers.pcg_flat import build_pcg_work
-from slam_tricks_tpu.solvers.schur import TrackTable
 from slam_tricks_tpu.solvers.schur_flat import FlatWork, build_flat_work
 
 
