@@ -258,6 +258,52 @@ def stage_pnp(ctx, detail):
     })
 
 
+def stage_configs(ctx, detail):
+    """The remaining BASELINE.json configs as timed entries: st6 SE(3) ICP,
+    st3 Zhang joint refinement, st22 two-view init+refine (st1/st17/st20
+    already have their own stages)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_tricks_tpu.manifolds import se3
+    from slam_tricks_tpu.pipelines.calibration import calibrate
+    from slam_tricks_tpu.pipelines.two_view import solve_two_view
+    from slam_tricks_tpu.residuals.icp import icp_iterate
+    from slam_tricks_tpu.sim import make_calib_scene, make_two_view
+
+    rng = np.random.default_rng(6)
+    out = {}
+
+    # st6: SE(3) ICP, unknown correspondences, NN association each sweep
+    n_icp = 512 if SMOKE else 8192
+    src = jnp.asarray(rng.normal(size=(n_icp, 3)).astype(np.float32))
+    T_true = se3.exp(jnp.asarray([0.08, -0.05, 0.1, 0.15, -0.1, 0.05],
+                                 jnp.float32))
+    dst = se3.act(T_true, src)
+    icp_j = jax.jit(lambda s, d: icp_iterate(s, d, n_outer=10))
+    dt, (R_est, t_est, _, _) = _timeit(icp_j, src, dst, reps=2)
+    terr = float(jnp.max(jnp.abs(t_est - T_true.t)))
+    out["icp_se3_ms"] = round(dt * 1e3, 2)
+    out["icp_n_points"] = n_icp
+    out["icp_t_err"] = terr
+
+    # st3: Zhang calibration, closed-form init + joint LM refinement
+    cs = make_calib_scene(n_views=9, noise=0.3, seed=7, dtype=np.float32)
+    dt, res = _timeit(lambda: calibrate(cs.board_pts, cs.image_pts,
+                                        max_iters=30), reps=2)
+    out["zhang_ms"] = round(dt * 1e3, 2)
+    out["zhang_fx_err"] = float(jnp.abs(res.intrinsics.fx - cs.fx))
+
+    # st22: two-view 8-point init + cheirality + triangulation + refinement
+    tv = make_two_view(n_points=100 if SMOKE else 2000, noise=1e-3, seed=8,
+                       dtype=np.float32)
+    tv_j = jax.jit(lambda a, b: solve_two_view(a, b, refine_iters=15))
+    dt, r = _timeit(tv_j, tv.uv1, tv.uv2, reps=2)
+    out["two_view_ms"] = round(dt * 1e3, 2)
+    out["two_view_final_cost"] = float(r.final_cost)
+    detail["configs"] = out
+
+
 def stage_breakdown(ctx, detail):
     """Per-stage ms of the xla flat iteration (amortized K-loop inside one
     jit: the tunnel adds ~25-70 ms per dispatch)."""
@@ -597,6 +643,7 @@ def main():
     optional = [
         ("undistort", lambda: stage_undistort(ctx, detail), 60),
         ("pnp", lambda: stage_pnp(ctx, detail), 60),
+        ("configs", lambda: stage_configs(ctx, detail), 90),
         ("large_scale", lambda: stage_large_scale(ctx, detail), 180),
         ("large_dense_comparator",
          lambda: stage_large_dense_comparator(ctx, detail), 180),
