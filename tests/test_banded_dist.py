@@ -69,3 +69,36 @@ def test_collective_traffic_is_pose_sized():
         for dims in re.findall(r'f32\[([0-9,]*)\]', shape):
             n = int(np.prod([int(x) for x in dims.split(",") if x] or [1]))
             assert n * 4 <= cap, f"oversized collective operand: f32[{dims}]"
+
+
+def test_robust_loss_distributed():
+    """Robust (Tukey) IRLS through the distributed banded solver must match
+    the single-device robust solve."""
+    from slam_tricks_tpu.residuals import robust
+
+    dtype = np.float64
+    scene, poses0, points0, fixed = _problem(dtype=dtype, n_cams=32,
+                                             n_points=600, track_len=4,
+                                             seed=87)
+    rng = np.random.default_rng(3)
+    import jax.numpy as jnp
+
+    uv = np.asarray(scene.obs.uv).copy()
+    valid = np.flatnonzero(np.asarray(scene.obs.weight) > 0)
+    hit = rng.choice(valid, valid.size // 50, replace=False)
+    uv[hit] += rng.normal(scale=0.3, size=(hit.size, 2))
+    obs = scene.obs._replace(uv=jnp.asarray(uv))
+
+    loss = robust.tukey(0.02)
+    bw = banded_flat.build_banded_work(obs, scene.n_cams, scene.n_points,
+                                       dtype=dtype)
+    ref = banded_flat.solve_ba_banded(poses0, points0, bw, fixed_mask=fixed,
+                                      max_iters=8, loss=loss)
+    dwork = build_dist_banded_work(obs, scene.n_cams, scene.n_points, 8,
+                                   dtype=dtype)
+    dist = make_ba_solver_banded_dist(_mesh(), max_iters=8, loss=loss)(
+        poses0, points0, dwork, fixed)
+    assert int(dist.it) == int(ref.it)
+    np.testing.assert_allclose(float(dist.cost), float(ref.cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dist.poses.t),
+                               np.asarray(ref.poses.t), atol=1e-7)
