@@ -224,6 +224,17 @@ def run_sliding_window(obs, poses_init, points_init, *, window=24, shift=12,
     C = poses_init.t.shape[0]
     L = points_init.shape[0]
     dtype = points_init.dtype
+    if not (0 < shift <= window <= C):
+        raise ValueError(f"need 0 < shift <= window <= C, got "
+                         f"shift={shift}, window={window}, C={C}")
+    if not (0 < na <= window - shift or window >= C):
+        raise ValueError(f"need na <= window - shift (anchors must survive "
+                         f"the shift), got na={na}, window={window}, "
+                         f"shift={shift}")
+    if shift < na and window < C:
+        raise ValueError(f"need shift >= na (old anchors must be inside the "
+                         f"dropped span at marginalization), got "
+                         f"shift={shift}, na={na}")
 
     est_R = np.asarray(poses_init.R).copy()
     est_t = np.asarray(poses_init.t).copy()

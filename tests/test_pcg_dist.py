@@ -111,3 +111,35 @@ def test_collective_traffic_is_pose_sized():
         for dims in re.findall(r'f32\[([0-9,]*)\]', shape):
             n = int(np.prod([int(x) for x in dims.split(",") if x] or [1]))
             assert n * 4 <= cap, f"oversized collective operand: f32[{dims}]"
+
+
+def test_robust_loss_distributed_pcg():
+    """Robust IRLS through the distributed PCG solver matches the
+    single-device flat-PCG robust solve."""
+    from slam_tricks_tpu.residuals import robust
+
+    dtype = np.float64
+    scene = make_trajectory_scene(n_cams=24, n_points=500, track_len=4,
+                                  seed=67, dtype=dtype)
+    poses0, points0, fixed = perturb_scene(scene, seed=68)
+    rng = np.random.default_rng(4)
+    uv = np.asarray(scene.obs.uv).copy()
+    valid = np.flatnonzero(np.asarray(scene.obs.weight) > 0)
+    hit = rng.choice(valid, valid.size // 50, replace=False)
+    uv[hit] += rng.normal(scale=0.3, size=(hit.size, 2))
+    obs_c = scene.obs._replace(uv=jnp.asarray(uv))
+
+    loss = robust.tukey(0.02)
+    kw = dict(max_iters=4, cg_iters=150, cg_tol=1e-11)
+    work = schur_flat.build_flat_work(obs_c, scene.n_cams, scene.n_points,
+                                      dtype=dtype, use_cam_table=True)
+    pcgw = build_pcg_work(obs_c, scene.n_cams, dtype=dtype)
+    ref = schur_flat.solve_ba_flat(poses0, points0, obs_c, work,
+                                   fixed_mask=fixed, linear="pcg",
+                                   pcg_work=pcgw, loss=loss, **kw)
+    obs_p = partition_obs_by_landmark(obs_c, 8)
+    dwork = build_dist_work(obs_p, scene.n_cams, scene.n_points, 8,
+                            dtype=dtype)
+    dist = make_ba_solver_pcg_dist(_mesh(), loss=loss, **kw)(
+        poses0, points0, dwork, fixed)
+    np.testing.assert_allclose(float(dist.cost), float(ref.cost), rtol=1e-3)
