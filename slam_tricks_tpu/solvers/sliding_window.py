@@ -140,7 +140,10 @@ def marginalize(poses, points, obs_np, prior: WindowPrior, *, n_drop, na,
     w = np.asarray(obs_np.weight)
     inv = n_drop + na
     valid = w > 0
-    touch_drop = np.zeros(int(lm.max()) + 1, bool)
+    # a window shift can select zero observations (every track consumed or
+    # weight-0) — lm.max() on an empty array raises (ADVICE r3)
+    n_lm = int(lm.max()) + 1 if lm.size else 1
+    touch_drop = np.zeros(n_lm, bool)
     outside = np.zeros_like(touch_drop)
     np.logical_or.at(touch_drop, lm[valid & (cam < n_drop)], True)
     np.logical_or.at(outside, lm[valid & (cam >= inv)], True)

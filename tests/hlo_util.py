@@ -1,0 +1,31 @@
+"""Shared helper: extract collective operand sizes from a lowered program.
+
+ADVICE r3: Lowered.as_text() emits StableHLO MLIR ('stablehlo.all_reduce',
+'tensor<...xf32>'), so regexes written against classic HLO text
+('all-reduce', 'f32[...]') match NOTHING and the size assertions never run.
+We lower to the classic HLO dialect explicitly and parse the all-reduce
+result types (for all-reduce, result type == operand type); callers must
+assert the returned list is NON-EMPTY so the check can never silently go
+vacuous again.
+"""
+
+import re
+
+import numpy as np
+
+
+def all_reduce_operand_sizes(lowered, bytes_per_elem=4):
+    """Return a list of (shape_string, nbytes) for every all-reduce operand
+    in the compiled-dialect HLO of `lowered` (a jax Lowered object)."""
+    txt = lowered.as_text(dialect="hlo")
+    out = []
+    for line in txt.splitlines():
+        if "all-reduce(" not in line:
+            continue
+        head = line.split("all-reduce(")[0]
+        # result types precede the op name: `x = f32[4,28]{1,0} all-reduce(`
+        # or tuple form `x = (f32[..], f32[..]) all-reduce(`
+        for dims in re.findall(r"f32\[([0-9,]*)\]", head):
+            n = int(np.prod([int(x) for x in dims.split(",") if x] or [1]))
+            out.append((f"f32[{dims}]", n * bytes_per_elem))
+    return out
