@@ -203,6 +203,87 @@ def stage_baseline(ctx, detail):
 # optional stages (each budget-gated and exception-isolated)
 # --------------------------------------------------------------------------
 
+def stage_scipy_baseline(ctx, detail):
+    """EXTERNAL timed baseline (VERDICT r3 item 2): scipy.optimize
+    least_squares (TRF, sparse finite-diff Jacobian — an implementation with
+    nothing in common with ours) on the SAME 96-cam problem. The numpy twin
+    times our own algorithm single-core; this times an independent
+    production solver. vs_baseline quotes THIS ratio; the twin moves to
+    detail.vs_numpy_twin."""
+    import time as _time
+
+    from scipy.optimize import least_squares
+    from scipy.sparse import coo_matrix
+    from scipy.spatial.transform import Rotation
+
+    obs = ctx["scene"].obs
+    poses0, points0, fixed = ctx["poses0_h"], ctx["points0_h"], ctx["fixed_h"]
+    cam_idx = np.asarray(obs.cam_idx)
+    lm_idx = np.asarray(obs.lm_idx)
+    uv = np.asarray(obs.uv, np.float64)
+    w = np.asarray(obs.weight, np.float64)
+    keep = w > 0
+    cam_idx, lm_idx, uv, sw = (cam_idx[keep], lm_idx[keep], uv[keep],
+                               np.sqrt(w[keep]))
+    N = cam_idx.shape[0]
+    L = ctx["L"]
+    R0 = np.asarray(poses0.R, np.float64)
+    rotvecs0 = Rotation.from_matrix(R0).as_rotvec()
+    ts0 = np.asarray(poses0.t, np.float64)
+    pts0 = np.asarray(points0, np.float64)
+    free_cams = ~np.asarray(fixed)
+    nf = int(free_cams.sum())
+    cam_slot = np.cumsum(free_cams) - 1
+
+    def unpack(x):
+        rv = rotvecs0.copy()
+        tt = ts0.copy()
+        rv[free_cams] = x[:nf * 3].reshape(nf, 3)
+        tt[free_cams] = x[nf * 3:2 * nf * 3].reshape(nf, 3)
+        return rv, tt, x[2 * nf * 3:].reshape(L, 3)
+
+    def residuals(x):
+        rv, tt, pts = unpack(x)
+        Rm = Rotation.from_rotvec(rv).as_matrix()
+        pc = np.einsum("nij,nj->ni", Rm[cam_idx], pts[lm_idx]) + tt[cam_idx]
+        return ((pc[:, :2] / pc[:, 2:3] - uv) * sw[:, None]).ravel()
+
+    # vectorized block sparsity (2 rows/obs; 6 cols per free cam, 3 per lm)
+    rows2 = np.repeat(np.arange(2 * N).reshape(N, 2), 3, axis=1)  # (N,2,3)
+    fc = free_cams[cam_idx]
+    s = cam_slot[cam_idx]
+    blocks = []
+    for base in (3 * s, 3 * nf + 3 * s):
+        cols = (base[:, None] + np.arange(3)[None, :])[fc]
+        blocks.append((rows2[fc].reshape(-1, 3).reshape(-1),
+                       np.repeat(cols, 2, axis=0).reshape(-1)))
+    colsl = (6 * nf + 3 * lm_idx)[:, None] + np.arange(3)[None, :]
+    blocks.append((rows2.reshape(-1, 3).reshape(-1),
+                   np.repeat(colsl, 2, axis=0).reshape(-1)))
+    ri = np.concatenate([b[0] for b in blocks])
+    ci = np.concatenate([b[1] for b in blocks])
+    sp = coo_matrix((np.ones(ri.size, np.int8), (ri, ci)),
+                    shape=(2 * N, 6 * nf + 3 * L))
+
+    x0 = np.concatenate([rotvecs0[free_cams].ravel(),
+                         ts0[free_cams].ravel(), pts0.ravel()])
+    cost0 = 0.5 * float(np.sum(residuals(x0) ** 2))
+    budget_evals = 2 if SMOKE else 10
+    t0 = _time.perf_counter()
+    res = least_squares(residuals, x0, jac_sparsity=sp, method="trf",
+                        max_nfev=budget_evals)
+    dt = _time.perf_counter() - t0
+    iters = max(int(res.njev), 1)
+    ips = iters / dt
+    detail["baseline_scipy"] = {
+        "solver": "scipy.least_squares TRF, sparse 2-point Jacobian",
+        "wall_s": round(dt, 2), "lm_iters": iters, "nfev": int(res.nfev),
+        "iters_per_s": round(ips, 4),
+        "cost_start": cost0, "cost_reached": float(res.cost),
+    }
+    return ips
+
+
 def stage_undistort(ctx, detail):
     """st1 path: batched analytic-Newton undistortion, pixels/s."""
     import jax
@@ -259,9 +340,12 @@ def stage_pnp(ctx, detail):
 
 
 def stage_configs(ctx, detail):
-    """The remaining BASELINE.json configs as timed entries: st6 SE(3) ICP,
-    st3 Zhang joint refinement, st22 two-view init+refine (st1/st17/st20
-    already have their own stages)."""
+    """The remaining BASELINE.json configs as timed entries with COMPARATOR
+    columns (VERDICT r3 weak 2/3): st6 SE(3) ICP vs a single-core numpy twin,
+    st3 Zhang (JITTED, init/refine split) vs cv2.calibrateCamera, st22
+    two-view vs cv2 findEssentialMat+recoverPose+triangulatePoints."""
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
@@ -273,6 +357,15 @@ def stage_configs(ctx, detail):
 
     rng = np.random.default_rng(6)
     out = {}
+
+    def _cpu_best(f, reps=2):
+        best = float("inf")
+        r = None
+        for _ in range(reps + 1):
+            t0 = _time.perf_counter()
+            r = f()
+            best = min(best, _time.perf_counter() - t0)
+        return best, r
 
     # st6: SE(3) ICP, unknown correspondences, NN association each sweep
     n_icp = 512 if SMOKE else 8192
@@ -287,12 +380,61 @@ def stage_configs(ctx, detail):
     out["icp_n_points"] = n_icp
     out["icp_t_err"] = terr
 
-    # st3: Zhang calibration, closed-form init + joint LM refinement
+    # comparator: single-core numpy, SAME algorithm (10 sweeps of brute NN
+    # + Kabsch — the reference's icp_no_binding role, st6-icp/src/include/
+    # icp.hpp:63-95 generalized to SE(3))
+    def icp_numpy():
+        s = np.array(src, np.float32)
+        d = np.array(dst, np.float32)
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+        for _ in range(10):
+            cur = s @ R.T + t
+            d2 = ((cur[:, None, :] - d[None, :, :]) ** 2).sum(-1)
+            nn = d2.argmin(1)
+            m = d[nn]
+            mu_s, mu_m = cur.mean(0), m.mean(0)
+            H = (cur - mu_s).T @ (m - mu_m)
+            Uu, _, Vt = np.linalg.svd(H)
+            Rd = Vt.T @ np.diag([1, 1, np.linalg.det(Vt.T @ Uu.T)]) @ Uu.T
+            R = Rd @ R
+            t = Rd @ (t - mu_s) + mu_m
+        return R, t
+    if not SMOKE and n_icp <= 8192:
+        dtn, _ = _cpu_best(icp_numpy, reps=1)
+        out["icp_numpy_singlecore_ms"] = round(dtn * 1e3, 2)
+
+    # st3: Zhang calibration — JITTED (the round-3 number was ~99% retrace
+    # overhead, VERDICT r3 weak 2), with init/refine split
+    from slam_tricks_tpu.initialization.zhang import calibrate_closed_form
+
     cs = make_calib_scene(n_views=9, noise=0.3, seed=7, dtype=np.float32)
-    dt, res = _timeit(lambda: calibrate(cs.board_pts, cs.image_pts,
-                                        max_iters=30), reps=2)
+    calib_j = jax.jit(lambda bp, ip: calibrate(bp, ip, max_iters=30))
+    dt, res = _timeit(calib_j, cs.board_pts, cs.image_pts, reps=2)
+    init_j = jax.jit(calibrate_closed_form)
+    dt_init, _ = _timeit(init_j, cs.board_pts, cs.image_pts, reps=2)
     out["zhang_ms"] = round(dt * 1e3, 2)
+    out["zhang_init_ms"] = round(dt_init * 1e3, 2)
+    out["zhang_refine_ms"] = round((dt - dt_init) * 1e3, 2)
     out["zhang_fx_err"] = float(jnp.abs(res.intrinsics.fx - cs.fx))
+    try:
+        import cv2
+
+        P = cs.board_pts.shape[0]
+        obj = np.concatenate([np.array(cs.board_pts, np.float32),
+                              np.zeros((P, 1), np.float32)], axis=1)
+        objs = [obj] * cs.image_pts.shape[0]
+        imgs = [np.array(v, np.float32).reshape(-1, 1, 2)
+                for v in cs.image_pts]
+        size = (int(2 * float(cs.cx)), int(2 * float(cs.cy)))
+
+        def cv2_calib():
+            return cv2.calibrateCamera(objs, imgs, size, None, None)
+        dtc, (rms, Kc, dc, _, _) = _cpu_best(cv2_calib, reps=1)
+        out["zhang_cv2_ms"] = round(dtc * 1e3, 2)
+        out["zhang_cv2_fx_err"] = float(abs(Kc[0, 0] - float(cs.fx)))
+    except Exception as e:
+        out["zhang_cv2_error"] = type(e).__name__
 
     # st22: two-view 8-point init + cheirality + triangulation + refinement
     tv = make_two_view(n_points=100 if SMOKE else 2000, noise=1e-3, seed=8,
@@ -301,6 +443,25 @@ def stage_configs(ctx, detail):
     dt, r = _timeit(tv_j, tv.uv1, tv.uv2, reps=2)
     out["two_view_ms"] = round(dt * 1e3, 2)
     out["two_view_final_cost"] = float(r.final_cost)
+    try:
+        import cv2
+
+        p1 = np.array(tv.uv1, np.float64)
+        p2 = np.array(tv.uv2, np.float64)
+        K = np.eye(3)
+
+        def cv2_two_view():
+            E, _ = cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC)
+            _, Rr, tr, _ = cv2.recoverPose(E, p1, p2, K)
+            P1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+            P2 = np.hstack([Rr, tr])
+            X = cv2.triangulatePoints(P1, P2, p1.T, p2.T)
+            return Rr, tr, X
+        dtc, _ = _cpu_best(cv2_two_view, reps=1)
+        # cv2 column covers init+triangulation only (no joint refinement)
+        out["two_view_cv2_init_tri_ms"] = round(dtc * 1e3, 2)
+    except Exception as e:
+        out["two_view_cv2_error"] = type(e).__name__
     detail["configs"] = out
 
 
@@ -344,11 +505,49 @@ def stage_breakdown(ctx, detail):
                                      obs.lm_idx, obs.uv, obs.weight)
 
     stages = detail.setdefault("stages", {})
+    roof = detail.setdefault("roofline", {})
+    total_bytes = 0.0
     for name, fn in (("linearize_assemble_ms", stage_lin),
                      ("schur_solve_ms", stage_solve),
                      ("cost_eval_ms", stage_cost)):
-        dt, _ = _timeit(loop_jit(fn), jnp.zeros((), dtype))
+        jfn = loop_jit(fn)
+        dt, _ = _timeit(jfn, jnp.zeros((), dtype))
         stages[name] = round(dt * 1e3 / AMORT, 4)
+        # HBM bytes from XLA's own cost model (VERDICT r3 item 3): per-stage
+        # bytes accessed of the compiled amortized loop, divided by AMORT
+        try:
+            ca = jfn.lower(jnp.zeros((), dtype)).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            by = float(ca.get("bytes accessed", 0.0)) / AMORT
+            roof[name.replace("_ms", "_MB")] = round(by / 1e6, 1)
+            total_bytes += by
+        except Exception as e:
+            roof[f"{name}_bytes_error"] = type(e).__name__
+
+    # measured copy bandwidth ceiling: y = x + 1 over a 256 MB array,
+    # amortized inside one jit (reads + writes 2x per pass)
+    nbw = 1 << 20 if SMOKE else 1 << 26
+    xbw = jnp.ones((nbw,), np.float32)
+    REPS = 8
+
+    @jax.jit
+    def bwf(x):
+        def body(i, v):
+            return v + 1.0
+        return jax.lax.fori_loop(0, REPS, body, x)
+
+    dtb, _ = _timeit(bwf, xbw)
+    gbps = REPS * 2 * nbw * 4 / dtb / 1e9
+    it_ms = detail.get("ms_per_iter", 0.0)
+    roof.update({
+        "bytes_per_iter_MB": round(total_bytes / 1e6, 1),
+        "measured_copy_GBps": round(gbps, 1),
+        "achieved_GBps": round(total_bytes / 1e9
+                               / max(it_ms * 1e-3, 1e-9), 1),
+        "bandwidth_fraction": round(
+            (total_bytes / max(it_ms * 1e-3, 1e-9)) / (gbps * 1e9), 4),
+    })
     # stash for the pallas A/B stage
     ctx["flat_blocks"] = (Hf, gpf, Hlf, glf, Wf)
 
@@ -398,6 +597,150 @@ def stage_large_scale(ctx, detail):
     obs_d = jax.device_put(scene.obs, ctx["dev"])
     ctx["large"] = {"scene": scene, "C": C, "L": L, "poses0": poses0,
                     "points0": points0, "fixed": fixed, "obs": obs_d}
+
+
+def stage_loop_scale(ctx, detail):
+    """C=1024 LOOP-CLOSURE scene (landmarks near the trajectory start
+    re-observed by the final cameras) through the banded+Woodbury solver
+    (solvers/loop_flat) — the general-visibility structure where the banded
+    solver raises and round-3's PCG fallback recorded 4576 ms/iter, losing
+    to the 2499 ms dense comparator (VERDICT r3 item 1)."""
+    import jax
+
+    from slam_tricks_tpu.sim import perturb_scene
+    from slam_tricks_tpu.sim.ba_scene import make_loop_scene
+    from slam_tricks_tpu.solvers import loop_flat
+
+    dtype = np.float32
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if SMOKE:
+            scene = make_loop_scene(n_cams=32, n_points=500, track_len=6,
+                                    seed=21, dtype=dtype)
+            max_band = 6
+        else:
+            scene = make_loop_scene(n_cams=1024, n_points=200_000,
+                                    track_len=8, seed=21, dtype=dtype)
+            max_band = 8
+        poses0, points0, fixed = perturb_scene(
+            scene, pose_rot_noise=0.002, pose_trans_noise=0.01,
+            point_noise=0.01, seed=22)
+        C, L = scene.n_cams, scene.n_points
+        lw = loop_flat.build_loop_work(scene.obs, C, L, dtype=dtype,
+                                       max_band=max_band)
+    poses0, points0, fixed, lw = jax.device_put(
+        (poses0, points0, fixed, lw), ctx["dev"])
+    mi = 12
+    solve = jax.jit(loop_flat.solve_ba_loop, static_argnames=("max_iters",))
+    dt, out = _timeit(lambda: solve(poses0, points0, lw, fixed_mask=fixed,
+                                    max_iters=mi), reps=2)
+    n_lc = int(np.sum(np.asarray(lw.lc_weight).sum(0) > 0))
+    detail["loop_scale"] = {
+        "n_cams": C, "n_points": L,
+        "n_obs": int(np.sum(np.asarray(scene.obs.weight) > 0)),
+        "n_loop_landmarks": n_lc,
+        "support_cams": int(np.asarray(lw.onehot_A).sum()),
+        "woodbury_width": int(min(3 * lw.lc_weight.shape[1],
+                                  6 * lw.onehot_A.shape[0])),
+        "loop_ms_per_iter": round(dt * 1e3 / max(int(out.it), 1), 2),
+        "loop_final_cost": float(out.cost),
+        "loop_lm_iters": int(out.it),
+    }
+    banded = detail.get("large_scale", {}).get("banded_ms_per_iter")
+    if banded:
+        detail["loop_scale"]["vs_banded_trajectory"] = round(
+            detail["loop_scale"]["loop_ms_per_iter"] / banded, 2)
+    ctx["loop"] = {"scene": scene, "poses0": poses0, "points0": points0,
+                   "fixed": fixed}
+
+
+def stage_loop_dense_comparator(ctx, detail):
+    """Exact paired-scan dense comparator on the SAME loop-closure scene —
+    the honest 'beats dense' column for the Woodbury path."""
+    import jax
+
+    from slam_tricks_tpu.solvers import schur
+
+    lp = ctx.get("loop")
+    if lp is None:
+        return
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pairs = schur.build_track_pairs(lp["scene"].obs.cam_idx,
+                                        lp["scene"].obs.lm_idx,
+                                        dtype=np.float32)
+    pairs, obs = jax.device_put((pairs, lp["scene"].obs), ctx["dev"])
+    solve_dense = jax.jit(lambda p, x, f: schur.solve_ba(
+        p, x, obs, fixed_mask=f, max_iters=5, linear_solver="paired",
+        track_pairs=pairs))
+    dt, out = _timeit(
+        lambda: solve_dense(lp["poses0"], lp["points0"], lp["fixed"]), reps=1)
+    detail["loop_scale"].update({
+        "paired_dense_ms_per_iter": round(dt * 1e3 / max(int(out.it), 1), 2),
+        "paired_dense_final_cost": float(out.cost),
+    })
+
+
+def stage_posegraph(ctx, detail):
+    """10k-pose chain+loop-closure pose-graph LM (solve_pose_graph_chain):
+    block-tridiagonal factor + rank-6-per-loop-edge Woodbury — the
+    g2o-benchmark problem shape at a scale the dense (N,N,6,6) path cannot
+    touch (VERDICT r3 item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_tricks_tpu.manifolds import se3
+    from slam_tricks_tpu.solvers.posegraph import (build_chain_work,
+                                                   solve_pose_graph_chain)
+
+    dtype = np.float32
+    N = 512 if SMOKE else 10_000
+    n_loops = 8 if SMOKE else 64
+    rng = np.random.default_rng(17)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        ang = 2 * np.pi * np.arange(N) / N
+        t_true = np.stack([10 * np.cos(ang), 10 * np.sin(ang),
+                           0.1 * np.sin(3 * ang)], 1)
+        Rt = np.stack([np.array([[np.cos(a), -np.sin(a), 0],
+                                 [np.sin(a), np.cos(a), 0],
+                                 [0, 0, 1]]) for a in ang])
+        poses_true = se3.SE3(jnp.asarray(Rt.astype(dtype)),
+                             jnp.asarray(t_true.astype(dtype)))
+        ii = np.concatenate([np.arange(N - 1),
+                             rng.integers(0, N // 4, n_loops)])
+        jj = np.concatenate([np.arange(1, N),
+                             rng.integers(3 * N // 4, N, n_loops)])
+        Ti = jax.tree_util.tree_map(lambda a: a[ii], poses_true)
+        Tj = jax.tree_util.tree_map(lambda a: a[jj], poses_true)
+        Zc = jax.vmap(lambda a, b: se3.mul(se3.inv(a), b))(Ti, Tj)
+        scale = np.where(np.arange(len(ii)) < N - 1, 0.002, 0.0005)
+        xi = rng.normal(size=(len(ii), 6)) * scale[:, None]
+        Z = jax.vmap(lambda T, x: se3.mul(T, se3.exp(x)))(
+            Zc, jnp.asarray(xi.astype(dtype)))
+        info = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (len(ii), 6, 6))
+        R0, t0 = [Rt[0]], [t_true[0]]
+        Zr, Zt = np.asarray(Z.R), np.asarray(Z.t)
+        for k in range(N - 1):
+            R0.append(R0[-1] @ Zr[k])
+            t0.append(R0[-2] @ Zt[k] + t0[-1])
+        poses0 = se3.SE3(jnp.asarray(np.stack(R0).astype(dtype)),
+                         jnp.asarray(np.stack(t0).astype(dtype)))
+        work = build_chain_work(ii, jj, Z, info, N, dtype=dtype)
+        fixed = jnp.zeros(N, bool).at[0].set(True)
+    poses0, work, fixed = jax.device_put((poses0, work, fixed), ctx["dev"])
+    mi = 12
+    solve = jax.jit(solve_pose_graph_chain, static_argnames=("max_iters",))
+    dt, out = _timeit(lambda: solve(poses0, work, fixed_mask=fixed,
+                                    max_iters=mi), reps=2)
+    err0 = float(np.sqrt(np.mean((np.asarray(np.stack(t0)) - t_true) ** 2)))
+    err = float(np.sqrt(np.mean((np.asarray(out.poses.t) - t_true) ** 2)))
+    detail["posegraph"] = {
+        "n_poses": N, "n_loop_edges": n_loops,
+        "ms_per_iter": round(dt * 1e3 / max(int(out.it), 1), 2),
+        "lm_iters": int(out.it), "final_cost": float(out.cost),
+        "ate_before": round(err0, 4), "ate_after": round(err, 4),
+    }
 
 
 def stage_large_pcg(ctx, detail):
@@ -611,6 +954,11 @@ def main():
     # NLLS normal equations need true-f32 contractions on the MXU (see
     # solvers/common.py) — also covers XLA's internal cholesky blocks.
     jax.config.update("jax_default_matmul_precision", "highest")
+    # x64 available (NOT default): the 10k-pose-graph stage auto-upcasts its
+    # tiny chain solve to f64 (chain conditioning passes 1/eps32 ~ N=600),
+    # and the loop-closure factor compression can use f64 internally. All
+    # hot-path arrays are explicitly f32; weak typing keeps them f32.
+    jax.config.update("jax_enable_x64", True)
     # machine-local compile cache OUTSIDE the repo (the committed in-repo
     # cache was machine-specific and failed to load elsewhere — VERDICT r2)
     cache_dir = os.environ.get(
@@ -627,14 +975,28 @@ def main():
     result = {"metric": "ba_lm_iters_per_s", "value": 0.0, "unit": "iters/s",
               "vs_baseline": None, "detail": detail}
 
-    # required: headline + baseline, then flush the first result line
+    # required: headline + baselines, then flush the first result line.
+    # vs_baseline is the EXTERNAL anchor (timed scipy least_squares TRF on
+    # the same problem — VERDICT r3 item 2); the numpy twin of our own
+    # algorithm is kept as detail.vs_numpy_twin for algorithm-parity.
     iters_per_s, ctx = stage_headline(detail)
     result["value"] = round(iters_per_s, 2)
     try:
-        baseline_ips = stage_baseline(ctx, detail)
-        result["vs_baseline"] = round(iters_per_s / baseline_ips, 2)
+        twin_ips = stage_baseline(ctx, detail)
+        detail["vs_numpy_twin"] = round(iters_per_s / twin_ips, 2)
     except Exception as e:
         detail["baseline_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    try:
+        scipy_ips = stage_scipy_baseline(ctx, detail)
+        result["vs_baseline"] = round(iters_per_s / scipy_ips, 2)
+        detail["vs_baseline_meaning"] = (
+            "headline LM iters/s vs timed scipy least_squares TRF "
+            "(sparse finite-diff J) on the identical problem, single core")
+    except Exception as e:
+        detail["scipy_baseline_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        if result["vs_baseline"] is None and "vs_numpy_twin" in detail:
+            result["vs_baseline"] = detail["vs_numpy_twin"]
+            detail["vs_baseline_meaning"] = "vs numpy twin (scipy failed)"
     _emit(result)
 
     # optional stages: (name, fn, min-budget-seconds to even start)
@@ -645,8 +1007,12 @@ def main():
         ("pnp", lambda: stage_pnp(ctx, detail), 60),
         ("configs", lambda: stage_configs(ctx, detail), 90),
         ("large_scale", lambda: stage_large_scale(ctx, detail), 180),
+        ("loop_scale", lambda: stage_loop_scale(ctx, detail), 150),
         ("large_dense_comparator",
          lambda: stage_large_dense_comparator(ctx, detail), 180),
+        ("loop_dense_comparator",
+         lambda: stage_loop_dense_comparator(ctx, detail), 150),
+        ("posegraph", lambda: stage_posegraph(ctx, detail), 120),
         ("tridiag_ab", lambda: stage_tridiag_ab(ctx, detail), 120),
         ("breakdown", lambda: stage_breakdown(ctx, detail), 60),
         ("large_pcg", lambda: stage_large_pcg(ctx, detail), 240),

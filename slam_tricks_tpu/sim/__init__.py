@@ -4,6 +4,7 @@ from slam_tricks_tpu.sim.ba_scene import (  # noqa: F401
     BAObservations,
     BAScene,
     make_scene,
+    make_loop_scene,
     make_trajectory_scene,
     perturb_scene,
 )

@@ -195,6 +195,87 @@ def make_trajectory_scene(n_cams=1024, n_points=200_000, track_len=8,
                    obs=obs, n_cams=n_cams, n_points=n_points)
 
 
+def make_loop_scene(n_cams=1024, n_points=200_000, track_len=8,
+                    loop_frac=None, radius=50.0, seed=0, pix_noise=0.0,
+                    dtype=np.float32):
+    """Trajectory scene WITH LOOP CLOSURES: cameras on a circle as in
+    make_trajectory_scene, but landmarks anchored near the trajectory start
+    are RE-OBSERVED by the final `track_len` cameras (the loop closing as the
+    circle completes — the defining structure of real SLAM, and of the
+    reference's cube-room where walls are seen from both ends of the spiral,
+    st20-g2o/src/src/sim_data.cpp:119-172).
+
+    loop_frac: fraction of landmarks forced to anchor in the start window
+    [0, track_len) (None keeps the uniform anchor distribution, giving
+    ~track_len/n_cams of landmarks as loop closures). Observations of a
+    loop landmark form TWO runs of consecutive cameras: [c0, c0+track_len)
+    and [n_cams-track_len, n_cams). Returns a BAScene."""
+    rng = np.random.default_rng(seed)
+    ang = 2 * np.pi * np.arange(n_cams) / n_cams
+    eyes = np.stack([radius * np.cos(ang), radius * np.sin(ang),
+                     np.zeros(n_cams)], axis=1)
+    fwd = np.stack([-np.sin(ang), np.cos(ang), np.zeros(n_cams)], axis=1)
+    Rs, ts = [], []
+    for i in range(n_cams):
+        R, t = look_at(eyes[i], eyes[i] + fwd[i])
+        Rs.append(R)
+        ts.append(t)
+    Rs = np.stack(Rs)
+    ts = np.stack(ts)
+
+    c0 = rng.integers(0, n_cams - track_len + 1, size=n_points)
+    if loop_frac is not None:
+        n_loop = int(loop_frac * n_points)
+        c0[:n_loop] = rng.integers(0, track_len, size=n_loop)
+    mid = c0 + track_len // 2
+    local = np.stack([
+        rng.uniform(-1.5, 1.5, n_points),
+        rng.uniform(-1.5, 1.5, n_points),
+        rng.uniform(6.0, 14.0, n_points),
+    ], axis=1)
+    R_mid = Rs[mid]
+    t_mid = ts[mid]
+    pts = np.einsum("nji,nj->ni", R_mid, local - t_mid)
+
+    # primary runs
+    cam_idx = (c0[:, None] + np.arange(track_len)[None, :]).reshape(-1)
+    lm_idx = np.repeat(np.arange(n_points), track_len)
+    # revisit run: landmarks anchored in the start window get the LAST
+    # track_len cameras appended (the closing cameras share the start's
+    # viewpoint on the circle, so the points genuinely project)
+    is_loop = c0 < track_len
+    loop_lms = np.flatnonzero(is_loop)
+    rev_cams = np.arange(n_cams - track_len, n_cams)
+    cam_idx = np.concatenate(
+        [cam_idx, np.tile(rev_cams, loop_lms.size)])
+    lm_idx = np.concatenate(
+        [lm_idx, np.repeat(loop_lms, track_len)])
+
+    p_cam = (np.einsum("nij,nj->ni", Rs[cam_idx], pts[lm_idx]) + ts[cam_idx])
+    z = p_cam[:, 2]
+    valid = z > 0.5
+    uv = p_cam[:, :2] / np.where(valid, z, 1.0)[:, None]
+    if pix_noise > 0:
+        uv = uv + rng.normal(size=uv.shape) * pix_noise
+    w = valid.astype(np.float64)
+    n_valid = np.bincount(lm_idx, weights=w, minlength=n_points)
+    w = w * (n_valid[lm_idx] >= 2)
+
+    n = cam_idx.shape[0]
+    pad = (-n) % 8
+    obs = BAObservations(
+        cam_idx=jnp.asarray(np.concatenate([cam_idx, np.zeros(pad, np.int64)]),
+                            jnp.int32),
+        lm_idx=jnp.asarray(np.concatenate([lm_idx, np.zeros(pad, np.int64)]),
+                           jnp.int32),
+        uv=jnp.asarray(np.concatenate([uv, np.zeros((pad, 2))]).astype(dtype)),
+        weight=jnp.asarray(np.concatenate([w, np.zeros(pad)]).astype(dtype)),
+    )
+    poses = se3.SE3(jnp.asarray(Rs.astype(dtype)), jnp.asarray(ts.astype(dtype)))
+    return BAScene(poses_true=poses, points_true=jnp.asarray(pts.astype(dtype)),
+                   obs=obs, n_cams=n_cams, n_points=n_points)
+
+
 def perturb_scene(scene, pose_rot_noise=0.05, pose_trans_noise=0.1,
                   point_noise=0.1, seed=10, fix_first=True, fix_last=True):
     """Noisy initialization (sim_data.cpp:273-296): perturb every pose/point;

@@ -141,14 +141,84 @@ def build_banded_work(obs, n_cams, n_points, dtype=np.float32, chunk=32,
 
 
 def _affine_scan(As, bs):
-    """Inclusive prefix of y_i = As_i y_{i-1} + bs_i (As_0 must be 0)."""
+    """Inclusive prefix of y_i = As_i y_{i-1} + bs_i (As_0 must be 0).
+    bs may be (..., m) vectors or (..., m, q) multi-rhs blocks."""
+    mat = bs.ndim == As.ndim
+    op = "...ij,...jk->...ik" if mat else "...ij,...j->...i"
+
     def comb(lo, hi):
         A1, b1 = lo
         A2, b2 = hi
         return (jnp.einsum("...ij,...jk->...ik", A2, A1, precision=HIGHEST),
-                jnp.einsum("...ij,...j->...i", A2, b1,
-                           precision=HIGHEST) + b2)
+                jnp.einsum(op, A2, b1, precision=HIGHEST) + b2)
     return jax.lax.associative_scan(comb, (As, bs))[1]
+
+
+class TridiagFactor(NamedTuple):
+    """Stored block-Cholesky factorization of an SPD block-tridiagonal
+    matrix T = Lt Lt^T (Lt block lower-bidiagonal: diagonal blocks `L`,
+    sub-diagonal blocks `F`). Unlike cyclic reduction (which re-derives its
+    elimination every solve), the stored factor supports repeated and
+    NUMERICALLY STABLE substitutions: the Woodbury paths need Lt^-1 U with
+    bounded entries so the capacitance Gram matrix I -/+ (Lt^-1 U)^T(Lt^-1 U)
+    is computed WITHOUT catastrophic cancellation (measured: the naive
+    I - U^T T^-1 U form in f32 had eigenvalues at -1e3 where exact
+    arithmetic guarantees (0, 1])."""
+    L: jnp.ndarray       # (G, m, m) lower-triangular diagonal blocks
+    F: jnp.ndarray       # (G-1, m, m) sub-diagonal blocks (block (g, g-1))
+
+
+def block_tridiag_factor(D, E):
+    """Factor the SPD block-tridiagonal (D (G,m,m), E (G-1,m,m) sub-diag)
+    into a TridiagFactor via the sequential block-Cholesky scan."""
+    chol = jax.lax.linalg.cholesky
+    tri = partial(jax.lax.linalg.triangular_solve, left_side=True, lower=True)
+    G, m, _ = D.shape
+    L0 = chol(D[0])
+    if G == 1:
+        return TridiagFactor(L=L0[None], F=jnp.zeros((0, m, m), D.dtype))
+
+    def step(Lp, DE):
+        Dg, Eg = DE
+        Ft = tri(Lp, jnp.swapaxes(Eg, -1, -2))        # F^T = Lp^{-1} E^T
+        F = jnp.swapaxes(Ft, -1, -2)
+        Lg = chol(Dg - jnp.einsum("ik,jk->ij", F, F, precision=HIGHEST))
+        return Lg, (Lg, F)
+
+    _, (Ls, Fs) = jax.lax.scan(step, L0, (D[1:], E))
+    return TridiagFactor(L=jnp.concatenate([L0[None], Ls]), F=Fs)
+
+
+def tridiag_forward(fac: TridiagFactor, R):
+    """Lt^-1 R by parallel-prefix forward substitution; R (G, m) or
+    (G, m, q)."""
+    tri = partial(jax.lax.linalg.triangular_solve, left_side=True, lower=True)
+    G, m, _ = fac.L.shape
+    if G == 1:
+        return tri(fac.L[0], R[0])[None] if R.ndim == 3 else \
+            tri(fac.L[0], R[0][:, None])[:, 0][None]
+    zero1 = jnp.zeros((1, m, m), fac.L.dtype)
+    A = jnp.concatenate([zero1, -tri(fac.L[1:], fac.F)])
+    c = tri(fac.L, R if R.ndim == 3 else R[..., None])
+    y = _affine_scan(A, c)
+    return y if R.ndim == 3 else y[..., 0]
+
+
+def tridiag_backward(fac: TridiagFactor, Y):
+    """Lt^-T Y by reversed parallel-prefix substitution; Y (G, m) or
+    (G, m, q)."""
+    tri = partial(jax.lax.linalg.triangular_solve, left_side=True, lower=True)
+    G, m, _ = fac.L.shape
+    Ym = Y if Y.ndim == 3 else Y[..., None]
+    if G == 1:
+        out = tri(fac.L[0], Ym[0], transpose_a=True)[None]
+        return out if Y.ndim == 3 else out[..., 0]
+    d = tri(fac.L, Ym, transpose_a=True)
+    zero1 = jnp.zeros((1, m, m), fac.L.dtype)
+    B = -tri(fac.L[:-1], jnp.swapaxes(fac.F, -1, -2), transpose_a=True)
+    Brev = jnp.concatenate([zero1, B[::-1]])
+    out = _affine_scan(Brev, d[::-1])[::-1]
+    return out if Y.ndim == 3 else out[..., 0]
 
 
 def _batched_spd_inverse(A):
@@ -161,30 +231,42 @@ def _batched_spd_inverse(A):
 
 def block_tridiag_solve_cr(D, E, r):
     """Solve the SPD block-tridiagonal system by BATCHED CYCLIC REDUCTION:
-    eliminate the odd-indexed blocks (all of them at once — batched inverses
+    eliminate the odd-indexed blocks (all of them at once -- batched inverses
     and matmuls), recurse on the half-size even system, back-substitute.
-    log2(G) rounds of ~8 batched ops replace G sequential scan steps —
+    log2(G) rounds of ~8 batched ops replace G sequential scan steps --
     measured 128x48: scan 3.2-4.5 ms, cyclic reduction ~0.3-0.5 ms.
     CR on an SPD block-tridiagonal matrix is block Cholesky under the
     odd-even (nested-dissection) permutation, so the intermediate systems
-    stay SPD and the recursion is stable."""
+    stay SPD and the recursion is stable.
+
+    r may be (G, m) -- one rhs -- or (G, m, q) for a MULTI-RHS solve (the
+    Woodbury loop-closure path solves S_sb^-1 [b | U] in one factorization
+    sweep, solvers/loop_flat.py); matmul-shaped rhs updates keep the extra
+    q columns on the MXU."""
+    vec = r.ndim == 2
+    R = r[..., None] if vec else r
+    X = _block_tridiag_cr_multi(D, E, R)
+    return X[..., 0] if vec else X
+
+
+def _block_tridiag_cr_multi(D, E, r):
+    """Cyclic-reduction solve with r of shape (G, m, q)."""
     G, m, _ = D.shape
+    q = r.shape[-1]
     if G == 1:
         Lc = jax.lax.linalg.cholesky(D[0])
-        t = jax.lax.linalg.triangular_solve(Lc, r[0][:, None],
-                                            left_side=True, lower=True)
+        t = jax.lax.linalg.triangular_solve(Lc, r[0], left_side=True,
+                                            lower=True)
         return jax.lax.linalg.triangular_solve(
-            Lc, t, left_side=True, lower=True, transpose_a=True)[:, 0][None]
+            Lc, t, left_side=True, lower=True, transpose_a=True)[None]
     G0 = G
     if G % 2:                          # pad to even with a decoupled identity
         D = jnp.concatenate([D, jnp.eye(m, dtype=D.dtype)[None]], axis=0)
         E = jnp.concatenate([E, jnp.zeros((1, m, m), D.dtype)], axis=0)
-        r = jnp.concatenate([r, jnp.zeros((1, m), D.dtype)], axis=0)
+        r = jnp.concatenate([r, jnp.zeros((1, m, q), D.dtype)], axis=0)
         G += 1
     H = G // 2
     mmb = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b,
-                                  precision=HIGHEST)
-    mvb = lambda a, b: jnp.einsum("...ij,...j->...i", a, b,
                                   precision=HIGHEST)
     T = lambda a: jnp.swapaxes(a, -1, -2)
 
@@ -196,8 +278,8 @@ def block_tridiag_solve_cr(D, E, r):
 
     Mo = _batched_spd_inverse(Do)               # (H, m, m)
     MoEe = mmb(Mo, Ee)                          # M_{2k+1} E_{2k}
-    MoEoT = mmb(Mo, T(Eo))                      # M_{2k+1} E_{2k+1}^T
-    Mro = mvb(Mo, ro)
+    MoEoT = mmb(Mo, T(Eo))                      # M_{2k+1} E_{2k+1}
+    Mro = mmb(Mo, ro)
 
     # even diagonal updates: from i = j+1 (always) and i = j-1 (j >= 2)
     up = mmb(T(Ee), MoEe)                       # E_{2k}^T M E_{2k}
@@ -206,16 +288,16 @@ def block_tridiag_solve_cr(D, E, r):
     D2 = De - up - jnp.concatenate([zero1, dn[:-1]], axis=0)
     # new couplings between even 2k and 2k+2: -E_{2k+1} M E_{2k}
     E2 = -mmb(Eo, MoEe)[:H - 1]
-    zv = jnp.zeros((1, m), D.dtype)
-    r2 = (re - mvb(T(Ee), Mro)
-          - jnp.concatenate([zv, mvb(Eo, Mro)[:-1]], axis=0))
+    zv = jnp.zeros((1, m, q), D.dtype)
+    r2 = (re - mmb(T(Ee), Mro)
+          - jnp.concatenate([zv, mmb(Eo, Mro)[:-1]], axis=0))
 
-    xe = block_tridiag_solve_cr(D2, E2, r2)     # (H, m)
+    xe = _block_tridiag_cr_multi(D2, E2, r2)    # (H, m, q)
     # back-substitute odd blocks: x_{2k+1} = M(r_o - E_{2k} x_{2k}
     #                                            - E_{2k+1}^T x_{2k+2})
     xe_next = jnp.concatenate([xe[1:], zv], axis=0)
-    xo = Mro - mvb(MoEe, xe) - mvb(MoEoT, xe_next)
-    out = jnp.stack([xe, xo], axis=1).reshape(G, m)
+    xo = Mro - mmb(MoEe, xe) - mmb(MoEoT, xe_next)
+    out = jnp.stack([xe, xo], axis=1).reshape(G, m, q)
     return out[:G0]
 
 
