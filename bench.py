@@ -13,20 +13,26 @@ later stage is optional, wrapped in try/except, and gated on a wall-clock
 budget (env SLAM_BENCH_BUDGET_S, default 1000 s) so one slow stage can never
 wipe the benchmark again (round 2's artifact was rc=124 with no output).
 
-vs_baseline compares against bench_baseline.py: a single-core numpy
-implementation of the IDENTICAL Schur LM loop (same linearization, same paired
-off-diagonal assembly a sparse CPU solver performs, same Nielsen trust-region
-law) — the honest stand-in for single-core Ceres SPARSE_SCHUR (reference
-st20-g2o/src/include/test_ceres.h:143-148; the repo publishes no BA timing,
-BASELINE.md). Baseline target: >= 5x. Both sides report best-of-N timing
-(ADVICE r2: same statistic on both sides).
+vs_baseline is the EXTERNAL anchor (VERDICT r3 item 2): headline LM
+iters/s vs a TIMED scipy.optimize.least_squares TRF solve (sparse
+finite-diff Jacobian) of the identical problem on one host core — an
+independent production solver, standing in for the single-core Ceres
+SPARSE_SCHUR the reference uses but never timed
+(st20-g2o/src/include/test_ceres.h:143-148; BASELINE.md). The numpy twin of
+our own algorithm (bench_baseline.py) remains as detail.vs_numpy_twin for
+algorithm-parity. Both sides report best-of-N timing.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# deep jit traces (recursive cyclic reduction inside fori_loop inside jit)
+# can exceed CPython's default 1000-frame limit
+sys.setrecursionlimit(10_000)
 
 T0 = time.monotonic()
 SMOKE = bool(int(os.environ.get("SLAM_BENCH_SMOKE", "0")))
@@ -356,7 +362,14 @@ def stage_configs(ctx, detail):
     from slam_tricks_tpu.sim import make_calib_scene, make_two_view
 
     rng = np.random.default_rng(6)
-    out = {}
+    out = detail.setdefault("configs", {})   # incremental: a crash in one
+                                             # config keeps the others
+
+    def _cfg(name, fn):
+        try:
+            fn()
+        except Exception as e:
+            out[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:160]}"
 
     def _cpu_best(f, reps=2):
         best = float("inf")
@@ -369,21 +382,27 @@ def stage_configs(ctx, detail):
 
     # st6: SE(3) ICP, unknown correspondences, NN association each sweep
     n_icp = 512 if SMOKE else 8192
-    src = jnp.asarray(rng.normal(size=(n_icp, 3)).astype(np.float32))
-    T_true = se3.exp(jnp.asarray([0.08, -0.05, 0.1, 0.15, -0.1, 0.05],
-                                 jnp.float32))
-    dst = se3.act(T_true, src)
-    icp_j = jax.jit(lambda s, d: icp_iterate(s, d, n_outer=10))
-    dt, (R_est, t_est, _, _) = _timeit(icp_j, src, dst, reps=2)
-    terr = float(jnp.max(jnp.abs(t_est - T_true.t)))
-    out["icp_se3_ms"] = round(dt * 1e3, 2)
-    out["icp_n_points"] = n_icp
-    out["icp_t_err"] = terr
+
+    def _icp():
+        src = jnp.asarray(rng.normal(size=(n_icp, 3)).astype(np.float32))
+        T_true = se3.exp(jnp.asarray([0.08, -0.05, 0.1, 0.15, -0.1, 0.05],
+                                     jnp.float32))
+        dst = se3.act(T_true, src)
+        icp_j = jax.jit(lambda s, d: icp_iterate(s, d, n_outer=10))
+        dt, (R_est, t_est, _, _) = _timeit(icp_j, src, dst, reps=2)
+        terr = float(jnp.max(jnp.abs(t_est - T_true.t)))
+        out["icp_se3_ms"] = round(dt * 1e3, 2)
+        out["icp_n_points"] = n_icp
+        out["icp_t_err"] = terr
+        ctx["_icp_arrays"] = (src, dst)
+
+    _cfg("icp", _icp)
 
     # comparator: single-core numpy, SAME algorithm (10 sweeps of brute NN
     # + Kabsch — the reference's icp_no_binding role, st6-icp/src/include/
     # icp.hpp:63-95 generalized to SE(3))
     def icp_numpy():
+        src, dst = ctx["_icp_arrays"]
         s = np.array(src, np.float32)
         d = np.array(dst, np.float32)
         R = np.eye(3, dtype=np.float32)
@@ -400,23 +419,37 @@ def stage_configs(ctx, detail):
             R = Rd @ R
             t = Rd @ (t - mu_s) + mu_m
         return R, t
-    if not SMOKE and n_icp <= 8192:
-        dtn, _ = _cpu_best(icp_numpy, reps=1)
-        out["icp_numpy_singlecore_ms"] = round(dtn * 1e3, 2)
+    if not SMOKE and n_icp <= 8192 and "_icp_arrays" in ctx:
+        def _icp_np():
+            dtn, _ = _cpu_best(icp_numpy, reps=0)  # one run: a 48 s CPU solve needs no warm-up
+            out["icp_numpy_singlecore_ms"] = round(dtn * 1e3, 2)
+        _cfg("icp_numpy", _icp_np)
 
     # st3: Zhang calibration — JITTED (the round-3 number was ~99% retrace
-    # overhead, VERDICT r3 weak 2), with init/refine split
+    # overhead, VERDICT r3 weak 2), with init/refine split. The closed-form
+    # SVD init runs jitted on the CPU backend (the tunneled-TPU toolchain
+    # SIGABRTs compiling its SVD chain; it is a once-per-problem
+    # millisecond computation), the LM refinement jitted on the device.
     from slam_tricks_tpu.initialization.zhang import calibrate_closed_form
 
     cs = make_calib_scene(n_views=9, noise=0.3, seed=7, dtype=np.float32)
-    calib_j = jax.jit(lambda bp, ip: calibrate(bp, ip, max_iters=30))
-    dt, res = _timeit(calib_j, cs.board_pts, cs.image_pts, reps=2)
-    init_j = jax.jit(calibrate_closed_form)
-    dt_init, _ = _timeit(init_j, cs.board_pts, cs.image_pts, reps=2)
-    out["zhang_ms"] = round(dt * 1e3, 2)
-    out["zhang_init_ms"] = round(dt_init * 1e3, 2)
-    out["zhang_refine_ms"] = round((dt - dt_init) * 1e3, 2)
-    out["zhang_fx_err"] = float(jnp.abs(res.intrinsics.fx - cs.fx))
+
+    def _zhang():
+        cpu = jax.devices("cpu")[0]
+        init_j = jax.jit(calibrate_closed_form, device=cpu)
+        dt_init, (intr0, _, poses0) = _timeit(init_j, cs.board_pts,
+                                              cs.image_pts, reps=2)
+        init_dev = jax.device_put((intr0, poses0), ctx["dev"])
+        calib_j = jax.jit(lambda bp, ip, ini: calibrate(bp, ip, max_iters=30,
+                                                        init=ini))
+        dt, res = _timeit(calib_j, cs.board_pts, cs.image_pts, init_dev,
+                          reps=2)
+        out["zhang_ms"] = round((dt + dt_init) * 1e3, 2)
+        out["zhang_init_cpu_ms"] = round(dt_init * 1e3, 2)
+        out["zhang_refine_ms"] = round(dt * 1e3, 2)
+        out["zhang_fx_err"] = float(jnp.abs(res.intrinsics.fx - cs.fx))
+
+    _cfg("zhang", _zhang)
     try:
         import cv2
 
@@ -439,10 +472,14 @@ def stage_configs(ctx, detail):
     # st22: two-view 8-point init + cheirality + triangulation + refinement
     tv = make_two_view(n_points=100 if SMOKE else 2000, noise=1e-3, seed=8,
                        dtype=np.float32)
-    tv_j = jax.jit(lambda a, b: solve_two_view(a, b, refine_iters=15))
-    dt, r = _timeit(tv_j, tv.uv1, tv.uv2, reps=2)
-    out["two_view_ms"] = round(dt * 1e3, 2)
-    out["two_view_final_cost"] = float(r.final_cost)
+
+    def _two_view():
+        tv_j = jax.jit(lambda a, b: solve_two_view(a, b, refine_iters=15))
+        dt, r = _timeit(tv_j, tv.uv1, tv.uv2, reps=2)
+        out["two_view_ms"] = round(dt * 1e3, 2)
+        out["two_view_final_cost"] = float(r.final_cost)
+
+    _cfg("two_view", _two_view)
     try:
         import cv2
 
@@ -462,7 +499,6 @@ def stage_configs(ctx, detail):
         out["two_view_cv2_init_tri_ms"] = round(dtc * 1e3, 2)
     except Exception as e:
         out["two_view_cv2_error"] = type(e).__name__
-    detail["configs"] = out
 
 
 def stage_breakdown(ctx, detail):
@@ -525,16 +561,20 @@ def stage_breakdown(ctx, detail):
         except Exception as e:
             roof[f"{name}_bytes_error"] = type(e).__name__
 
-    # measured copy bandwidth ceiling: y = x + 1 over a 256 MB array,
-    # amortized inside one jit (reads + writes 2x per pass)
+    # measured copy bandwidth ceiling: REPS dynamic rolls of a 256 MB array
+    # inside one jit. A v+1-style body FUSES across iterations into a single
+    # memory pass (elementwise chains collapse); a roll whose shift depends
+    # on the loop index cannot, so every iteration genuinely moves
+    # 2x the array through HBM. REPS amortizes the ~30-70 ms tunnel
+    # dispatch to a few percent.
     nbw = 1 << 20 if SMOKE else 1 << 26
     xbw = jnp.ones((nbw,), np.float32)
-    REPS = 8
+    REPS = 4 if SMOKE else 64
 
     @jax.jit
     def bwf(x):
         def body(i, v):
-            return v + 1.0
+            return jnp.roll(v, i + 1)
         return jax.lax.fori_loop(0, REPS, body, x)
 
     dtb, _ = _timeit(bwf, xbw)
@@ -682,64 +722,65 @@ def stage_loop_dense_comparator(ctx, detail):
 
 
 def stage_posegraph(ctx, detail):
-    """10k-pose chain+loop-closure pose-graph LM (solve_pose_graph_chain):
-    block-tridiagonal factor + rank-6-per-loop-edge Woodbury — the
-    g2o-benchmark problem shape at a scale the dense (N,N,6,6) path cannot
-    touch (VERDICT r3 item 5)."""
-    import jax
-    import jax.numpy as jnp
+    """10k-pose chain+loop-closure pose-graph LM (solve_pose_graph_chain) —
+    run in a SUBPROCESS with its own jax config (CPU backend + x64): the
+    chain solve needs f64 past N ~ 600, TPU f64 is software-emulated
+    (measured 966 ms/iter at N=2048, and the N=10k f64 program faults the
+    tunneled device), and enabling x64 in THIS process makes the tunneled
+    toolchain SIGABRT on the configs stage's SVD chains. Pose graphs are
+    KB-sized problems — a host-precision solve by design (VERDICT r3
+    item 5)."""
+    import subprocess
 
-    from slam_tricks_tpu.manifolds import se3
-    from slam_tricks_tpu.solvers.posegraph import (build_chain_work,
-                                                   solve_pose_graph_chain)
-
-    dtype = np.float32
     N = 512 if SMOKE else 10_000
     n_loops = 8 if SMOKE else 64
-    rng = np.random.default_rng(17)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        ang = 2 * np.pi * np.arange(N) / N
-        t_true = np.stack([10 * np.cos(ang), 10 * np.sin(ang),
-                           0.1 * np.sin(3 * ang)], 1)
-        Rt = np.stack([np.array([[np.cos(a), -np.sin(a), 0],
-                                 [np.sin(a), np.cos(a), 0],
-                                 [0, 0, 1]]) for a in ang])
-        poses_true = se3.SE3(jnp.asarray(Rt.astype(dtype)),
-                             jnp.asarray(t_true.astype(dtype)))
-        ii = np.concatenate([np.arange(N - 1),
-                             rng.integers(0, N // 4, n_loops)])
-        jj = np.concatenate([np.arange(1, N),
-                             rng.integers(3 * N // 4, N, n_loops)])
-        Ti = jax.tree_util.tree_map(lambda a: a[ii], poses_true)
-        Tj = jax.tree_util.tree_map(lambda a: a[jj], poses_true)
-        Zc = jax.vmap(lambda a, b: se3.mul(se3.inv(a), b))(Ti, Tj)
-        scale = np.where(np.arange(len(ii)) < N - 1, 0.002, 0.0005)
-        xi = rng.normal(size=(len(ii), 6)) * scale[:, None]
-        Z = jax.vmap(lambda T, x: se3.mul(T, se3.exp(x)))(
-            Zc, jnp.asarray(xi.astype(dtype)))
-        info = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (len(ii), 6, 6))
-        R0, t0 = [Rt[0]], [t_true[0]]
-        Zr, Zt = np.asarray(Z.R), np.asarray(Z.t)
-        for k in range(N - 1):
-            R0.append(R0[-1] @ Zr[k])
-            t0.append(R0[-2] @ Zt[k] + t0[-1])
-        poses0 = se3.SE3(jnp.asarray(np.stack(R0).astype(dtype)),
-                         jnp.asarray(np.stack(t0).astype(dtype)))
-        work = build_chain_work(ii, jj, Z, info, N, dtype=dtype)
-        fixed = jnp.zeros(N, bool).at[0].set(True)
-    poses0, work, fixed = jax.device_put((poses0, work, fixed), ctx["dev"])
-    mi = 12
-    solve = jax.jit(solve_pose_graph_chain, static_argnames=("max_iters",))
-    dt, out = _timeit(lambda: solve(poses0, work, fixed_mask=fixed,
-                                    max_iters=mi), reps=2)
-    err0 = float(np.sqrt(np.mean((np.asarray(np.stack(t0)) - t_true) ** 2)))
-    err = float(np.sqrt(np.mean((np.asarray(out.poses.t) - t_true) ** 2)))
-    detail["posegraph"] = {
-        "n_poses": N, "n_loop_edges": n_loops,
-        "ms_per_iter": round(dt * 1e3 / max(int(out.it), 1), 2),
-        "lm_iters": int(out.it), "final_cost": float(out.cost),
-        "ate_before": round(err0, 4), "ate_after": round(err, 4),
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "profiling", "posegraph_bench.py"),
+         str(N), str(n_loops)],
+        capture_output=True, text=True, timeout=900, env=env)
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith("{"):
+            detail["posegraph"] = json.loads(line)
+            return
+    raise RuntimeError(f"posegraph subprocess rc={r.returncode}: "
+                       f"{r.stderr[-200:]}")
+
+
+def stage_weak_scaling(ctx, detail):
+    """Weak-scaling proxy on the virtual CPU mesh (VERDICT r3 item 6):
+    distributed banded BA at D = 1/2/4/8 devices, fixed landmarks per
+    device. Subprocesses (each needs its own
+    xla_force_host_platform_device_count before backend init). The
+    load-bearing record is the measured per-iteration collective volume
+    staying O(C) — constant in D and total L; the iters/s column is a
+    shared-core proxy only (virtual devices contend for host cores)."""
+    import subprocess
+    import sys
+
+    rows = []
+    for D in ((1, 2) if SMOKE else (1, 2, 4, 8)):
+        if not SMOKE and _left() < 90:
+            break
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "profiling", "weak_scaling.py"),
+             str(D)],
+            capture_output=True, text=True, timeout=600, env=env)
+        for line in reversed(r.stdout.splitlines()):
+            if line.startswith("{"):
+                rows.append(json.loads(line))
+                break
+    detail["weak_scaling"] = {
+        "note": ("virtual CPU mesh on a shared-core host: collective bytes "
+                 "are the DCN-cost signal; iters/s reflects host-core "
+                 "contention, not pod scaling"),
+        "host_cores": os.cpu_count(),
+        "rows": rows,
     }
 
 
@@ -954,11 +995,11 @@ def main():
     # NLLS normal equations need true-f32 contractions on the MXU (see
     # solvers/common.py) — also covers XLA's internal cholesky blocks.
     jax.config.update("jax_default_matmul_precision", "highest")
-    # x64 available (NOT default): the 10k-pose-graph stage auto-upcasts its
-    # tiny chain solve to f64 (chain conditioning passes 1/eps32 ~ N=600),
-    # and the loop-closure factor compression can use f64 internally. All
-    # hot-path arrays are explicitly f32; weak typing keeps them f32.
-    jax.config.update("jax_enable_x64", True)
+    # NOTE: x64 stays OFF in this process — enabling it promotes parts of
+    # the icp/two-view/zhang SVD chains to f64 and the tunneled-TPU
+    # toolchain SIGABRTs compiling them (measured round 4). Stages that
+    # need f64 (the 10k pose graph) run in subprocesses with their own
+    # config; the loop-closure QR compression is f32-stable by design.
     # machine-local compile cache OUTSIDE the repo (the committed in-repo
     # cache was machine-specific and failed to load elsewhere — VERDICT r2)
     cache_dir = os.environ.get(
@@ -1013,11 +1054,16 @@ def main():
         ("loop_dense_comparator",
          lambda: stage_loop_dense_comparator(ctx, detail), 150),
         ("posegraph", lambda: stage_posegraph(ctx, detail), 120),
+        ("weak_scaling", lambda: stage_weak_scaling(ctx, detail), 300),
         ("tridiag_ab", lambda: stage_tridiag_ab(ctx, detail), 120),
         ("breakdown", lambda: stage_breakdown(ctx, detail), 60),
         ("large_pcg", lambda: stage_large_pcg(ctx, detail), 240),
-        ("pallas", lambda: stage_pallas(ctx, detail), 150),
     ]
+    # Pallas A/B only on request: three rounds of measurements all favor the
+    # XLA formulations on this workload (docs/adr_pallas_vs_xla.md); the
+    # standing numbers are recorded there and in BENCH_r03
+    if os.environ.get("SLAM_BENCH_PALLAS"):
+        optional.append(("pallas", lambda: stage_pallas(ctx, detail), 150))
     for name, fn, min_budget in optional:
         if not SMOKE and _left() < min_budget:
             detail.setdefault("skipped", []).append(name)

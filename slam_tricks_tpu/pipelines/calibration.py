@@ -27,14 +27,23 @@ class CalibResult(NamedTuple):
     iterations: jnp.ndarray
 
 
-def calibrate(board_pts, image_pts, *, max_iters=50):
+def calibrate(board_pts, image_pts, *, max_iters=50, init=None):
     """board_pts (P,2) model plane; image_pts (V,P,2) pixel corners.
+
+    init: optional (intrinsics0, poses0) to skip the closed-form
+    initialization — useful to run the SVD-heavy init on the CPU backend
+    and only the LM refinement on an accelerator (the tunneled-TPU
+    toolchain SIGABRTs compiling the closed-form SVD chain; the init is a
+    once-per-problem millisecond computation anyway).
 
     Returns CalibResult with refined intrinsics/distortion/poses."""
     V, P, _ = image_pts.shape
     dtype = image_pts.dtype
 
-    intr0, _, poses0 = calibrate_closed_form(board_pts, image_pts)
+    if init is None:
+        intr0, _, poses0 = calibrate_closed_form(board_pts, image_pts)
+    else:
+        intr0, poses0 = init
     dist0 = DistCoeffs.zeros(dtype)
     x0 = (pack_intrinsics(intr0, dist0).astype(dtype), poses0)
     manifold = product(euclidean(9), batched(lie(se3), V))

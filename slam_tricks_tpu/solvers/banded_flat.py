@@ -250,55 +250,64 @@ def block_tridiag_solve_cr(D, E, r):
 
 
 def _block_tridiag_cr_multi(D, E, r):
-    """Cyclic-reduction solve with r of shape (G, m, q)."""
+    """Cyclic-reduction solve with r of shape (G, m, q) — ITERATIVE over the
+    log2(G) levels (a recursive formulation traced fine but tripped CPython
+    3.12's fixed C-recursion ceiling when embedded deep inside fori_loop/jit
+    tracing stacks — observed as RecursionError in the bench process)."""
     G, m, _ = D.shape
     q = r.shape[-1]
-    if G == 1:
-        Lc = jax.lax.linalg.cholesky(D[0])
-        t = jax.lax.linalg.triangular_solve(Lc, r[0], left_side=True,
-                                            lower=True)
-        return jax.lax.linalg.triangular_solve(
-            Lc, t, left_side=True, lower=True, transpose_a=True)[None]
-    G0 = G
-    if G % 2:                          # pad to even with a decoupled identity
-        D = jnp.concatenate([D, jnp.eye(m, dtype=D.dtype)[None]], axis=0)
-        E = jnp.concatenate([E, jnp.zeros((1, m, m), D.dtype)], axis=0)
-        r = jnp.concatenate([r, jnp.zeros((1, m, q), D.dtype)], axis=0)
-        G += 1
-    H = G // 2
+    dtype = D.dtype
     mmb = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b,
                                   precision=HIGHEST)
     T = lambda a: jnp.swapaxes(a, -1, -2)
 
-    Ep = jnp.concatenate([E, jnp.zeros((1, m, m), D.dtype)],
-                         axis=0)                # (G, m, m); E[G-1] = 0
-    De, Do = D[0::2], D[1::2]                   # (H, m, m) each
-    Ee, Eo = Ep[0::2], Ep[1::2]                 # E[2k], E[2k+1]; (H, m, m)
-    re, ro = r[0::2], r[1::2]
+    # ---- forward elimination: halve until one block ----
+    stack = []          # per level: (G0, Mo, MoEe, MoEoT, Mro)
+    while G > 1:
+        G0 = G
+        if G % 2:                      # pad to even with a decoupled identity
+            D = jnp.concatenate([D, jnp.eye(m, dtype=dtype)[None]], axis=0)
+            E = jnp.concatenate([E, jnp.zeros((1, m, m), dtype)], axis=0)
+            r = jnp.concatenate([r, jnp.zeros((1, m, q), dtype)], axis=0)
+            G += 1
+        H = G // 2
+        Ep = jnp.concatenate([E, jnp.zeros((1, m, m), dtype)],
+                             axis=0)            # (G, m, m); E[G-1] = 0
+        De, Do = D[0::2], D[1::2]               # (H, m, m) each
+        Ee, Eo = Ep[0::2], Ep[1::2]             # E[2k], E[2k+1]; (H, m, m)
+        re, ro = r[0::2], r[1::2]
 
-    Mo = _batched_spd_inverse(Do)               # (H, m, m)
-    MoEe = mmb(Mo, Ee)                          # M_{2k+1} E_{2k}
-    MoEoT = mmb(Mo, T(Eo))                      # M_{2k+1} E_{2k+1}
-    Mro = mmb(Mo, ro)
+        Mo = _batched_spd_inverse(Do)           # (H, m, m)
+        MoEe = mmb(Mo, Ee)                      # M_{2k+1} E_{2k}
+        MoEoT = mmb(Mo, T(Eo))                  # M_{2k+1} E_{2k+1}
+        Mro = mmb(Mo, ro)
 
-    # even diagonal updates: from i = j+1 (always) and i = j-1 (j >= 2)
-    up = mmb(T(Ee), MoEe)                       # E_{2k}^T M E_{2k}
-    dn = mmb(Eo, MoEoT)                         # E_{2k+1} M E_{2k+1}^T
-    zero1 = jnp.zeros((1, m, m), D.dtype)
-    D2 = De - up - jnp.concatenate([zero1, dn[:-1]], axis=0)
-    # new couplings between even 2k and 2k+2: -E_{2k+1} M E_{2k}
-    E2 = -mmb(Eo, MoEe)[:H - 1]
-    zv = jnp.zeros((1, m, q), D.dtype)
-    r2 = (re - mmb(T(Ee), Mro)
-          - jnp.concatenate([zv, mmb(Eo, Mro)[:-1]], axis=0))
+        # even diagonal updates: from i = j+1 (always) and i = j-1 (j >= 2)
+        up = mmb(T(Ee), MoEe)                   # E_{2k}^T M E_{2k}
+        dn = mmb(Eo, MoEoT)                     # E_{2k+1} M E_{2k+1}^T
+        zero1 = jnp.zeros((1, m, m), dtype)
+        D = De - up - jnp.concatenate([zero1, dn[:-1]], axis=0)
+        # new couplings between even 2k and 2k+2: -E_{2k+1} M E_{2k}
+        E = -mmb(Eo, MoEe)[:H - 1]
+        zv = jnp.zeros((1, m, q), dtype)
+        r = (re - mmb(T(Ee), Mro)
+             - jnp.concatenate([zv, mmb(Eo, Mro)[:-1]], axis=0))
+        stack.append((G0, MoEe, MoEoT, Mro))
+        G = H
 
-    xe = _block_tridiag_cr_multi(D2, E2, r2)    # (H, m, q)
-    # back-substitute odd blocks: x_{2k+1} = M(r_o - E_{2k} x_{2k}
-    #                                            - E_{2k+1}^T x_{2k+2})
-    xe_next = jnp.concatenate([xe[1:], zv], axis=0)
-    xo = Mro - mmb(MoEe, xe) - mmb(MoEoT, xe_next)
-    out = jnp.stack([xe, xo], axis=1).reshape(G, m, q)
-    return out[:G0]
+    Lc = jax.lax.linalg.cholesky(D[0])
+    t = jax.lax.linalg.triangular_solve(Lc, r[0], left_side=True, lower=True)
+    x = jax.lax.linalg.triangular_solve(
+        Lc, t, left_side=True, lower=True, transpose_a=True)[None]
+
+    # ---- back-substitution through the levels ----
+    zv = jnp.zeros((1, m, q), dtype)
+    for G0, MoEe, MoEoT, Mro in reversed(stack):
+        xe = x                                   # (H, m, q) even solutions
+        xe_next = jnp.concatenate([xe[1:], zv], axis=0)
+        xo = Mro - mmb(MoEe, xe) - mmb(MoEoT, xe_next)
+        x = jnp.stack([xe, xo], axis=1).reshape(2 * xe.shape[0], m, q)[:G0]
+    return x
 
 
 def block_tridiag_solve_scan(D, E, r):

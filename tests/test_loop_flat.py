@@ -104,6 +104,7 @@ def test_no_loop_degenerates_to_banded():
                                np.asarray(ref.poses.t), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_loop_closure_improves_drift():
     """The point of loop closures: with odometry-style noise accumulating
     along the trajectory, closing the loop must tie the far end back to the

@@ -91,6 +91,7 @@ def test_loop_closures_fix_drift():
     assert err < 0.2 * err0, (err, err0)
 
 
+@pytest.mark.slow
 def test_f32_10k_poses():
     """The scale target: a 10k-pose graph (the dense path would need a
     (60000, 60000) Cholesky). f32 inputs auto-upcast to f64 internally —
