@@ -17,6 +17,7 @@ from slam_tricks_tpu.solvers.banded_flat import (  # noqa: F401
 )
 from slam_tricks_tpu.solvers.loop_flat import (  # noqa: F401
     build_loop_work,
+    loop_pose_covariances,
     solve_ba_loop,
 )
 from slam_tricks_tpu.solvers.schur_flat import (  # noqa: F401

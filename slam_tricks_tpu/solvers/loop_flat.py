@@ -449,3 +449,70 @@ def solve_ba_loop(poses0, points0, lw: LoopWork, *, fixed_mask=None,
     points_out = points0.at[bw.scatter_idx].set(pts_sr, mode="drop")
     points_out = points_out.at[lw.lc_lm].set(pts_lc, mode="drop")
     return final._replace(points=points_out)
+
+
+def loop_pose_covariances(poses, points, lw: LoopWork, fixed_mask, *,
+                          lam=0.0, loss=None):
+    """Marginal 6x6 pose covariances at the solution for LOOP-CLOSURE
+    problems — the Ceres `Covariance` role at scales the dense path cannot
+    reach, for the visibility class the pure banded Takahashi recursion
+    cannot represent (off-band revisit coupling).
+
+    With S = S_sb - U U^T and S_sb = Lt Lt^T (the stored tridiagonal
+    factor), Ut = Lt^-1 U:
+
+        S^-1 = S_sb^-1 + Z cap^-1 Z^T,   Z = Lt^-T Ut,  cap = I - Ut^T Ut
+
+    so every per-camera diagonal block is the banded Takahashi diagonal
+    PLUS a rank-q correction evaluated per camera with one einsum. Exact
+    (up to the same eigh-clip used by the solver). Fixed cameras get zero.
+    `points` must be in ORIGINAL landmark order (as returned by
+    solve_ba_loop)."""
+    from slam_tricks_tpu.solvers.banded_flat import _takahashi_inverse_blocks
+
+    C = poses.t.shape[0]
+    dtype = points.dtype
+    bw = lw.banded
+    lam = jnp.asarray(lam, dtype)
+
+    pts_sr = points[bw.gather_idx]
+    pts_lc = points[lw.lc_gather]
+    Hpp_b, _, Hll_sr, _, W_sr, _ = _banded_quantities(poses, pts_sr, bw, C,
+                                                      loss=loss)
+    cam_lc, Hll_lc, _, W_lc = _lc_quantities(poses, pts_lc, lw, C, loss=loss)
+    Hpp = Hpp_b + cam_lc[:, :21]
+    K = W_sr.shape[0]
+    bands, _, _, _, free = _assemble_bands(Hpp, Hll_sr, W_sr, lam,
+                                           fixed_mask, bw, C)
+    Hll_lc_d, _ = _damp_hll(Hll_lc, lam)
+    freeA = jax.lax.dot_general(lw.onehot_A, free[:, None],
+                                (((1,), (0,)), ((), ())),
+                                precision=HIGHEST)[:, 0]
+    Ua = _lc_factor(W_lc, Hll_lc_d, lw, freeA, dtype)
+    q = Ua.shape[-1]
+    U_C = jnp.einsum("ac,aiq->ciq", lw.onehot_A, Ua, precision=HIGHEST)
+
+    Dm, Em, G, Kb, Cp = _group_superblocks(bands, C, K, dtype)
+    m = 6 * Kb
+    if Cp > C:
+        U_C = jnp.concatenate([U_C, jnp.zeros((Cp - C, 6, q), dtype)],
+                              axis=0)
+    fac = block_tridiag_factor(Dm, Em if G > 1 else
+                               jnp.zeros((0, m, m), dtype))
+    Ut = tridiag_forward(fac, U_C.reshape(G, m, q))
+    cap = (jnp.eye(q, dtype=dtype)
+           - jnp.einsum("gmq,gmr->qr", Ut, Ut, precision=HIGHEST))
+    wc, Vc = jnp.linalg.eigh(0.5 * (cap + cap.T))
+    tol = 1e3 * jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    w_inv = 1.0 / jnp.maximum(wc, tol)
+    Z = tridiag_backward(fac, Ut)                        # (G,m,q) = Lt^-T Ut
+    # correction diag blocks: (Z Vc sqrt(w_inv)) (.)^T per camera
+    Zc = jnp.einsum("gmq,qr->gmr", Z, Vc * jnp.sqrt(w_inv)[None, :],
+                    precision=HIGHEST).reshape(Cp, 6, q)
+    corr = jnp.einsum("ciq,cjq->cij", Zc, Zc, precision=HIGHEST)[:C]
+
+    P, _ = _takahashi_inverse_blocks(Dm, Em if G > 1 else None, G)
+    Pr = P.reshape(G, Kb, 6, Kb, 6)
+    base = jax.vmap(lambda g: jax.vmap(lambda r: Pr[g, r, :, r, :])(
+        jnp.arange(Kb)))(jnp.arange(G)).reshape(Cp, 6, 6)[:C]
+    return (base + corr) * free[:, None, None]

@@ -182,3 +182,27 @@ def test_f32_convergence():
     rms = np.sqrt(2.0 * float(out.cost) / n_obs)
     # reprojection RMS at the 1e-3 noise injected
     assert rms < 2e-3, rms
+
+
+def test_loop_pose_covariances_vs_dense():
+    """loop_pose_covariances (Takahashi + rank-q Woodbury correction) must
+    match the dense S^-1 diagonal blocks (Ceres Covariance role for the
+    loop-closure visibility class)."""
+    from slam_tricks_tpu.solvers.covariance import ba_covariances
+    from slam_tricks_tpu.solvers.loop_flat import loop_pose_covariances
+
+    dtype = np.float64
+    scene, poses0, points0, fixed = _problem(n_cams=40, n_points=500,
+                                             track_len=4, seed=31,
+                                             pix_noise=1e-3, dtype=dtype)
+    lw = loop_flat.build_loop_work(scene.obs, scene.n_cams, scene.n_points,
+                                   dtype=dtype, max_band=4)
+    out = loop_flat.solve_ba_loop(poses0, points0, lw, fixed_mask=fixed,
+                                  max_iters=15)
+    ref_cov, _ = ba_covariances(out.poses, out.points, scene.obs, fixed,
+                                lam=0.0)
+    cov = loop_pose_covariances(out.poses, out.points, lw, fixed, lam=0.0)
+    scale = float(np.max(np.abs(np.asarray(ref_cov))))
+    err = float(np.max(np.abs(np.asarray(cov) - np.asarray(ref_cov))))
+    # kappa(S)-limited agreement (the covariances themselves are ~1e5)
+    assert err < 1e-4 * scale, (err, scale)
