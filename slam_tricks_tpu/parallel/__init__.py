@@ -9,3 +9,7 @@ from slam_tricks_tpu.parallel.sharded_ba import (  # noqa: F401
     make_ba_solver,
     pad_obs_to_multiple,
 )
+from slam_tricks_tpu.parallel.loop_dist import (  # noqa: F401
+    build_dist_loop_work,
+    make_ba_solver_loop_dist,
+)

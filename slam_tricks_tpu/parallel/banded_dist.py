@@ -45,6 +45,14 @@ def build_dist_banded_work(obs, n_cams, n_points, n_devices,
     contribute nothing and scatter nowhere."""
     bw = build_banded_work(obs, n_cams, n_points, dtype=dtype, chunk=chunk,
                            max_band=max_band)
+    local = split_banded_work(bw, n_points, n_devices)
+    return DistBandedWork(local=local, n_points=int(n_points))
+
+
+def split_banded_work(bw: BandedWork, n_points, n_devices):
+    """Split an existing BandedWork's chunk axis into n_devices contiguous
+    slices (leading device axis), padding with weight-0 sentinel chunks.
+    Shared by the banded and loop-closure distributed wrappers."""
     uv, w, oh = (np.asarray(bw.uv), np.asarray(bw.weight),
                  np.asarray(bw.onehot))
     sc, ga = np.asarray(bw.scatter_idx), np.asarray(bw.gather_idx)
@@ -66,13 +74,12 @@ def build_dist_banded_work(obs, n_cams, n_points, n_devices,
         Lpad += pl_
     D = n_devices
     LBd, Ld = LB // D, Lpad // D
-    local = BandedWork(
+    return BandedWork(
         uv=jnp.asarray(uv.reshape(K, 2, D, Ld).transpose(2, 0, 1, 3)),
         weight=jnp.asarray(w.reshape(K, D, Ld).transpose(1, 0, 2)),
         onehot=jnp.asarray(oh.reshape(D, LBd, C)),
         scatter_idx=jnp.asarray(sc.reshape(D, Ld)),
         gather_idx=jnp.asarray(ga.reshape(D, Ld)))
-    return DistBandedWork(local=local, n_points=int(n_points))
 
 
 def make_ba_solver_banded_dist(mesh: Mesh, axis: str = "obs", *, max_iters=30,

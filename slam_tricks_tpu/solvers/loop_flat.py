@@ -261,10 +261,17 @@ def _lc_factor(W_lc, Hll_lc_d, lw: LoopWork, freeA, dtype):
 
 
 def _solve_loop(Hpp_flat, gp, Hll_sr, gl_sr, W_sr, Hll_lc, gl_lc, W_lc,
-                lam, fixed_mask, lw: LoopWork, C):
+                lam, fixed_mask, lw: LoopWork, C, psum_axis=None):
     """Exact damped, gauge-fixed solve of the FULL reduced camera system:
     multi-RHS banded solve of S_sb^-1 [b | U] + Woodbury capacitance.
-    Returns (dp, dl_sr, dl_lc, diag_pp, diag_ll_sr, diag_ll_lc)."""
+    Returns (dp, dl_sr, dl_lc, diag_pp, diag_ll_sr, diag_ll_lc).
+
+    psum_axis: distributed mode (parallel/loop_dist.py) — the banded chunk
+    axis is split across devices (band downdates and the single-run rhs
+    reduction are psummed, exactly as in the banded solver) while the
+    loop-closure structure is REPLICATED on every device (M and |A| are
+    small); the LC contributions are therefore added AFTER the psums, once,
+    identically on all devices."""
     dtype = gp.dtype
     bw = lw.banded
     K = W_sr.shape[0]
@@ -275,7 +282,8 @@ def _solve_loop(Hpp_flat, gp, Hll_sr, gl_sr, W_sr, Hll_lc, gl_lc, W_lc,
 
     # banded part of S: Hpp_d(total, damped) minus single-run downdates
     bands, hinv_sr, dpp, dll_sr, free = _assemble_bands(
-        Hpp_flat, Hll_sr, W_sr, lam, fixed_mask, bw, C)
+        Hpp_flat, Hll_sr, W_sr, lam, fixed_mask, bw, C,
+        psum_axis=psum_axis)
 
     # loop-closure landmark blocks: damp, invert, factor
     Hll_lc_d, dll_lc = _damp_hll(Hll_lc, lam)
@@ -293,6 +301,9 @@ def _solve_loop(Hpp_flat, gp, Hll_sr, gl_sr, W_sr, Hll_lc, gl_lc, W_lc,
         cols = [sum(W_sr[k, i * 3 + j] * u_sr[j] for j in range(3))
                 for i in range(6)]
         y = y + _cam_accum(cols, k, bw.onehot, chunk)
+    if psum_axis is not None:
+        y = jax.lax.psum(y, psum_axis)     # single-run partials only;
+                                           # the replicated LC part follows
     u_lc = _mat3vec_flat(hinv_lc, [gl_lc[0], gl_lc[1], gl_lc[2]])
     yA = jnp.zeros((pA, 6), dtype)
     for k in range(Klc):
@@ -375,11 +386,19 @@ def _solve_loop(Hpp_flat, gp, Hll_sr, gl_sr, W_sr, Hll_lc, gl_lc, W_lc,
 
 
 def solve_ba_loop(poses0, points0, lw: LoopWork, *, fixed_mask=None,
-                  max_iters=30, lambda_init=1e-4, xtol=1e-12, loss=None):
+                  max_iters=30, lambda_init=1e-4, xtol=1e-12, loss=None,
+                  psum_axis=None, raw_points=False):
     """LM bundle adjustment with loop closures: exact linear solves via the
     banded factor + Woodbury correction. Identical LM semantics/trajectory to
     schur_flat.solve_ba_flat (parity-tested). `points0` in ORIGINAL landmark
-    order (L, 3); so is the returned state's `.points`."""
+    order (L, 3); so is the returned state's `.points`.
+
+    psum_axis: run inside shard_map with the banded chunk axis split across
+    devices and the LC structure replicated (parallel/loop_dist.py); all
+    camera-side single-run reductions and scalar reductions are psummed,
+    LC contributions are replicated-deterministic. raw_points=True returns
+    `.points` as the (pts_sr_local, pts_lc) pair instead of scattering into
+    the global array (the distributed wrapper scatters outside)."""
     C = poses0.t.shape[0]
     dtype = points0.dtype
     bw = lw.banded
@@ -391,7 +410,7 @@ def solve_ba_loop(poses0, points0, lw: LoopWork, *, fixed_mask=None,
 
     def quantities(poses, pts_sr, pts_lc):
         Hpp_b, gp_b, Hll_sr, gl_sr, W_sr, cost_b = _banded_quantities(
-            poses, pts_sr, bw, C, loss=loss)
+            poses, pts_sr, bw, C, loss=loss, psum_axis=psum_axis)
         cam_lc, Hll_lc, gl_lc, W_lc = _lc_quantities(poses, pts_lc, lw, C,
                                                      loss=loss)
         Hpp = Hpp_b + cam_lc[:, :21]
@@ -416,9 +435,12 @@ def solve_ba_loop(poses0, points0, lw: LoopWork, *, fixed_mask=None,
         Hpp, gp, Hll_sr, gl_sr, W_sr, Hll_lc, gl_lc, W_lc = blocks
         dp, dl_sr, dl_lc, diag_pp, diag_sr, diag_lc = _solve_loop(
             Hpp, gp, list(Hll_sr), gl_sr, W_sr, list(Hll_lc), gl_lc, W_lc,
-            s.lam, fixed_mask, lw, C)
+            s.lam, fixed_mask, lw, C, psum_axis=psum_axis)
         bad = (jnp.any(~jnp.isfinite(dp)) | jnp.any(~jnp.isfinite(dl_sr))
                | jnp.any(~jnp.isfinite(dl_lc)))
+        if psum_axis is not None:
+            # all devices must agree before touching the replicated state
+            bad = jax.lax.psum(bad.astype(dtype), psum_axis) > 0
         dp_s = jnp.where(bad, jnp.zeros_like(dp), dp)
         dsr = jnp.where(bad, jnp.zeros_like(dl_sr), dl_sr)
         dlc = jnp.where(bad, jnp.zeros_like(dl_lc), dl_lc)
@@ -428,14 +450,17 @@ def solve_ba_loop(poses0, points0, lw: LoopWork, *, fixed_mask=None,
         lc_try = s.points[1] + dlc
         blocks_try, cost_try = quantities(poses_try, sr_try, lc_try)
 
+        pred_sr = jnp.sum(dsr * (s.lam * diag_sr * dsr - gl_sr.T))
+        step_sr = jnp.sum(dsr * dsr)
+        if psum_axis is not None:
+            pred_sr, step_sr = jax.lax.psum((pred_sr, step_sr), psum_axis)
         pred = 0.5 * (jnp.sum(dp_s * (s.lam * diag_pp * dp_s - gp))
-                      + jnp.sum(dsr * (s.lam * diag_sr * dsr - gl_sr.T))
+                      + pred_sr
                       + jnp.sum(dlc * (s.lam * diag_lc * dlc - gl_lc.T)))
         accept, lam_new, nu_new = lm_accept(s.cost, cost_try, s.lam, s.nu,
                                             pred, bad)
         sel = lambda a, b2: jnp.where(accept, a, b2)
-        step_sq = (jnp.sum(dp_s * dp_s) + jnp.sum(dsr * dsr)
-                   + jnp.sum(dlc * dlc))
+        step_sq = (jnp.sum(dp_s * dp_s) + step_sr + jnp.sum(dlc * dlc))
         new_state = BAState(
             poses=jax.tree_util.tree_map(sel, poses_try, s.poses),
             points=(sel(sr_try, s.points[0]), sel(lc_try, s.points[1])),
@@ -445,6 +470,8 @@ def solve_ba_loop(poses0, points0, lw: LoopWork, *, fixed_mask=None,
         return (new_state, new_blocks)
 
     final, _ = jax.lax.while_loop(cond, body, state)
+    if raw_points:
+        return final
     pts_sr, pts_lc = final.points
     points_out = points0.at[bw.scatter_idx].set(pts_sr, mode="drop")
     points_out = points_out.at[lw.lc_lm].set(pts_lc, mode="drop")
