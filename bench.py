@@ -1046,17 +1046,17 @@ def main():
     optional = [
         ("undistort", lambda: stage_undistort(ctx, detail), 60),
         ("pnp", lambda: stage_pnp(ctx, detail), 60),
-        ("configs", lambda: stage_configs(ctx, detail), 90),
+        ("breakdown", lambda: stage_breakdown(ctx, detail), 60),
         ("large_scale", lambda: stage_large_scale(ctx, detail), 180),
         ("loop_scale", lambda: stage_loop_scale(ctx, detail), 150),
+        ("configs", lambda: stage_configs(ctx, detail), 90),
         ("large_dense_comparator",
          lambda: stage_large_dense_comparator(ctx, detail), 180),
         ("loop_dense_comparator",
          lambda: stage_loop_dense_comparator(ctx, detail), 150),
         ("posegraph", lambda: stage_posegraph(ctx, detail), 120),
-        ("weak_scaling", lambda: stage_weak_scaling(ctx, detail), 300),
         ("tridiag_ab", lambda: stage_tridiag_ab(ctx, detail), 120),
-        ("breakdown", lambda: stage_breakdown(ctx, detail), 60),
+        ("weak_scaling", lambda: stage_weak_scaling(ctx, detail), 300),
         ("large_pcg", lambda: stage_large_pcg(ctx, detail), 240),
     ]
     # Pallas A/B only on request: three rounds of measurements all favor the

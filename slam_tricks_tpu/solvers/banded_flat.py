@@ -249,11 +249,17 @@ def block_tridiag_solve_cr(D, E, r):
     return X[..., 0] if vec else X
 
 
-def _block_tridiag_cr_multi(D, E, r):
+def _block_tridiag_cr_multi(D, E, r, dense_tail=8):
     """Cyclic-reduction solve with r of shape (G, m, q) — ITERATIVE over the
     log2(G) levels (a recursive formulation traced fine but tripped CPython
     3.12's fixed C-recursion ceiling when embedded deep inside fori_loop/jit
-    tracing stacks — observed as RecursionError in the bench process)."""
+    tracing stacks — observed as RecursionError in the bench process).
+
+    dense_tail: stop the reduction once G <= dense_tail and solve the
+    remaining block-tridiagonal system with ONE dense Cholesky — each CR
+    level is a chain of small batched linalg launches whose LATENCY (not
+    flops) dominates at production shapes, so trading the last ~3 levels
+    for a single (tail*m)^2 factorization is a measured win."""
     G, m, _ = D.shape
     q = r.shape[-1]
     dtype = D.dtype
@@ -261,9 +267,9 @@ def _block_tridiag_cr_multi(D, E, r):
                                   precision=HIGHEST)
     T = lambda a: jnp.swapaxes(a, -1, -2)
 
-    # ---- forward elimination: halve until one block ----
+    # ---- forward elimination: halve until the dense tail ----
     stack = []          # per level: (G0, Mo, MoEe, MoEoT, Mro)
-    while G > 1:
+    while G > max(dense_tail, 1):
         G0 = G
         if G % 2:                      # pad to even with a decoupled identity
             D = jnp.concatenate([D, jnp.eye(m, dtype=dtype)[None]], axis=0)
@@ -295,10 +301,23 @@ def _block_tridiag_cr_multi(D, E, r):
         stack.append((G0, MoEe, MoEoT, Mro))
         G = H
 
-    Lc = jax.lax.linalg.cholesky(D[0])
-    t = jax.lax.linalg.triangular_solve(Lc, r[0], left_side=True, lower=True)
-    x = jax.lax.linalg.triangular_solve(
-        Lc, t, left_side=True, lower=True, transpose_a=True)[None]
+    if G == 1:
+        Lc = jax.lax.linalg.cholesky(D[0])
+        t = jax.lax.linalg.triangular_solve(Lc, r[0], left_side=True,
+                                            lower=True)
+        x = jax.lax.linalg.triangular_solve(
+            Lc, t, left_side=True, lower=True, transpose_a=True)[None]
+    else:
+        # dense tail: one (G*m, G*m) SPD solve of the remaining tridiag
+        n = G * m
+        A = jnp.zeros((G, m, G, m), dtype)
+        A = A.at[jnp.arange(G), :, jnp.arange(G), :].set(D)
+        if G > 1:
+            gi = jnp.arange(G - 1)
+            A = A.at[gi + 1, :, gi, :].set(E)
+            A = A.at[gi, :, gi + 1, :].set(T(E))
+        cf = jax.scipy.linalg.cho_factor(A.reshape(n, n), lower=True)
+        x = jax.scipy.linalg.cho_solve(cf, r.reshape(n, q)).reshape(G, m, q)
 
     # ---- back-substitution through the levels ----
     zv = jnp.zeros((1, m, q), dtype)

@@ -16,3 +16,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules: a process that
+    accumulates 150+ XLA:CPU compilations reproducibly SEGFAULTS inside
+    backend_compile (observed round 4 at the same suite position across
+    runs; xdist workers reduced but did not eliminate it in slow mode).
+    Modules rarely share compiled programs, so the cost is small."""
+    yield
+    jax.clear_caches()

@@ -104,7 +104,14 @@ class TestSO3:
 
 class TestSE3:
     def test_exp_log_roundtrip(self):
-        xi = jnp.asarray(RNG.normal(size=(64, 6)))
+        # log returns the canonical (|omega| <= pi) tangent, so keep the
+        # rotation part below pi — an N(0,1) 3-vector exceeds it ~2% of the
+        # time, which made this test depend on the shared RNG's position in
+        # the suite execution order (flaked under xdist reordering)
+        xi = np.asarray(RNG.normal(size=(64, 6)))
+        wn = np.linalg.norm(xi[:, 3:], axis=1, keepdims=True)
+        xi[:, 3:] /= np.maximum(1.0, wn / 3.0)
+        xi = jnp.asarray(xi)
         xi_back = jax.vmap(lambda x: se3.log(se3.exp(x)))(xi)
         np.testing.assert_allclose(np.asarray(xi_back), np.asarray(xi), atol=1e-10)
 
