@@ -785,8 +785,10 @@ def stage_weak_scaling(ctx, detail):
 
 
 def stage_large_pcg(ctx, detail):
-    """General-structure (non-banded) large-C comparator: scatter-free
-    block-tridiagonal-preconditioned PCG on the same problem."""
+    """LEGACY comparator: the gather-table PCG path on the trajectory
+    problem. Superseded for every realistic visibility structure by the
+    banded (trajectory) and banded+Woodbury (loop-closure) direct solvers —
+    kept on record to document the 250x gap layout engineering closed."""
     import jax
 
     from slam_tricks_tpu.sim import make_trajectory_scene, perturb_scene
