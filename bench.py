@@ -290,6 +290,46 @@ def stage_scipy_baseline(ctx, detail):
     return ips
 
 
+def stage_native_schur(ctx, detail):
+    """The Ceres-class CPU baseline (VERDICT r4 item 4): single-core C++
+    sparse-Schur LM with ANALYTIC Jacobians on the identical problem
+    (native/schur_baseline.cpp — the algorithm Ceres SPARSE_SCHUR runs,
+    st20-g2o/src/include/test_ceres.h:143-145). Strongest honest
+    denominator: no autodiff overhead, no finite differences, no Python.
+
+    Timing = best-of-2 full 20-iteration solves (pure solve wall, marshal
+    excluded). NOTE on final cost: this 96-cam problem has (at least) two
+    LM basins — a global one (~1e-10) and a local minimum at cost ~2.5e-2;
+    which basin a solver lands in flips on sub-ulp differences in the
+    iteration-2 step, so final costs are reported but iters/s is the
+    comparable statistic (each iteration does identical algorithmic work)."""
+    from slam_tricks_tpu.native import schur_ba_solve_native
+
+    obs = ctx["scene"].obs
+    poses0, points0, fixed = ctx["poses0_h"], ctx["points0_h"], ctx["fixed_h"]
+    args = (np.asarray(poses0.R, np.float64), np.asarray(poses0.t, np.float64),
+            np.asarray(points0, np.float64), np.asarray(obs.cam_idx),
+            np.asarray(obs.lm_idx), np.asarray(obs.uv, np.float64),
+            np.asarray(obs.weight, np.float64), np.asarray(fixed))
+    best = None
+    for _ in range(1 if SMOKE else 2):
+        out = schur_ba_solve_native(*args, max_iters=5 if SMOKE else 20)
+        ms = out["wall_ms"] / max(out["iters"], 1)
+        if best is None or ms < best["ms_per_iter"]:
+            best = {"ms_per_iter": ms, "iters": out["iters"],
+                    "cost": out["cost"]}
+    ips = 1e3 / best["ms_per_iter"]
+    detail["baseline_native_schur"] = {
+        "solver": "C++ single-core sparse-Schur LM, analytic J "
+                  "(native/schur_baseline.cpp)",
+        "ms_per_iter": round(best["ms_per_iter"], 2),
+        "iters_per_s": round(ips, 3),
+        "lm_iters": best["iters"],
+        "final_cost": best["cost"],
+    }
+    return ips
+
+
 def stage_undistort(ctx, detail):
     """st1 path: batched analytic-Newton undistortion, pixels/s."""
     import jax
@@ -1031,15 +1071,37 @@ def main():
         detail["baseline_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     try:
         scipy_ips = stage_scipy_baseline(ctx, detail)
-        result["vs_baseline"] = round(iters_per_s / scipy_ips, 2)
-        detail["vs_baseline_meaning"] = (
-            "headline LM iters/s vs timed scipy least_squares TRF "
-            "(sparse finite-diff J) on the identical problem, single core")
+        detail["vs_scipy_trf"] = round(iters_per_s / scipy_ips, 2)
     except Exception as e:
         detail["scipy_baseline_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-        if result["vs_baseline"] is None and "vs_numpy_twin" in detail:
+    # vs_baseline is the STRONGEST honest denominator (VERDICT r4 item 4):
+    # the C++ single-core sparse-Schur LM with analytic Jacobians — the
+    # Ceres SPARSE_SCHUR algorithm without Ceres's generic-graph overhead.
+    # Fallbacks: scipy TRF (weaker external solver), then the numpy twin.
+    try:
+        native_ips = stage_native_schur(ctx, detail)
+        result["vs_baseline"] = round(iters_per_s / native_ips, 2)
+        detail["vs_native_schur"] = result["vs_baseline"]
+        detail["vs_baseline_meaning"] = (
+            "headline LM iters/s vs single-core C++ sparse-Schur LM with "
+            "analytic Jacobians on the identical problem "
+            "(native/schur_baseline.cpp — the Ceres SPARSE_SCHUR algorithm). "
+            "Weaker external anchors: vs_scipy_trf times scipy "
+            "least_squares TRF, whose finite-difference sparse Jacobians "
+            "make each of its iterations far more expensive (nfev >> njev); "
+            "vs_numpy_twin times our own algorithm in single-core numpy. "
+            "scipy is timed single-run; the other sides best-of-2.")
+    except Exception as e:
+        detail["native_schur_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        if "vs_scipy_trf" in detail:
+            result["vs_baseline"] = detail["vs_scipy_trf"]
+            detail["vs_baseline_meaning"] = (
+                "vs timed scipy least_squares TRF (sparse finite-diff J; "
+                "nfev >> njev handicap), single core — native C++ baseline "
+                "unavailable")
+        elif "vs_numpy_twin" in detail:
             result["vs_baseline"] = detail["vs_numpy_twin"]
-            detail["vs_baseline_meaning"] = "vs numpy twin (scipy failed)"
+            detail["vs_baseline_meaning"] = "vs numpy twin (others failed)"
     _emit(result)
 
     # optional stages: (name, fn, min-budget-seconds to even start)

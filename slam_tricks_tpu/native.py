@@ -45,6 +45,16 @@ def _load():
                                ctypes.c_int, ctypes.c_int,
                                ctypes.POINTER(ctypes.c_int),
                                ctypes.POINTER(ctypes.c_float)]
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    lib.schur_ba_solve.restype = ctypes.c_int
+    lib.schur_ba_solve.argtypes = [
+        c_dp, c_dp, c_dp,                               # R0, t0, pts0
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        c_dp, c_dp,                                     # uv, w
+        ctypes.POINTER(ctypes.c_uint8),                 # fixed
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,       # C, L, N
+        ctypes.c_int, ctypes.c_double,                  # max_iters, lambda
+        c_dp, c_dp, c_dp, c_dp, c_dp]                   # outputs
     lib.grow_chessboards.restype = ctypes.c_int
     lib.grow_chessboards.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -101,6 +111,51 @@ class KDTree:
                 self._lib.kdtree_free(self._h)
             except Exception:
                 pass
+
+
+def schur_ba_solve_native(R0, t0, pts0, cam_idx, lm_idx, uv, w, fixed,
+                          max_iters=20, lambda_init=1e-4):
+    """Single-core C++ sparse-Schur LM bundle adjustment — the honest
+    Ceres-SPARSE_SCHUR-class CPU baseline (native/schur_baseline.cpp; the
+    algorithm of st20-g2o/src/include/test_ceres.h:143-145 with the analytic
+    Jacobians of st17-ceres/src/include/solver.hpp:341-385).
+
+    Returns dict with R, t, pts, cost, iters, wall_ms (pure solve time,
+    excluding array marshalling). Raises RuntimeError when the native
+    library is unavailable (this baseline has no Python fallback — a slow
+    fallback would defeat its purpose as a timing denominator)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; cannot time the "
+                           "C++ Schur baseline")
+    R0 = np.ascontiguousarray(np.asarray(R0, np.float64)).reshape(-1, 9)
+    t0 = np.ascontiguousarray(np.asarray(t0, np.float64))
+    pts0 = np.ascontiguousarray(np.asarray(pts0, np.float64))
+    cam_idx = np.ascontiguousarray(np.asarray(cam_idx, np.int32))
+    lm_idx = np.ascontiguousarray(np.asarray(lm_idx, np.int32))
+    uv = np.ascontiguousarray(np.asarray(uv, np.float64))
+    w = np.ascontiguousarray(np.asarray(w, np.float64))
+    fixed = np.ascontiguousarray(np.asarray(fixed, np.uint8))
+    C, L, N = R0.shape[0], pts0.shape[0], cam_idx.shape[0]
+    out_R = np.empty((C, 9), np.float64)
+    out_t = np.empty((C, 3), np.float64)
+    out_pts = np.empty((L, 3), np.float64)
+    out_cost = np.empty(1, np.float64)
+    out_ms = np.empty(1, np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+    iters = lib.schur_ba_solve(
+        R0.ctypes.data_as(dp), t0.ctypes.data_as(dp), pts0.ctypes.data_as(dp),
+        cam_idx.ctypes.data_as(ip), lm_idx.ctypes.data_as(ip),
+        uv.ctypes.data_as(dp), w.ctypes.data_as(dp),
+        fixed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        C, L, N, max_iters, lambda_init,
+        out_R.ctypes.data_as(dp), out_t.ctypes.data_as(dp),
+        out_pts.ctypes.data_as(dp), out_cost.ctypes.data_as(dp),
+        out_ms.ctypes.data_as(dp))
+    return {"R": out_R.reshape(C, 3, 3), "t": out_t, "pts": out_pts,
+            "cost": float(out_cost[0]), "iters": int(iters),
+            "wall_ms": float(out_ms[0])}
 
 
 def grow_chessboards_native(xy, scores, dist_factor=1.6, cos_thresh=0.85,
