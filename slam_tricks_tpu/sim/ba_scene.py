@@ -210,6 +210,14 @@ def make_loop_scene(n_cams=1024, n_points=200_000, track_len=8,
     ~track_len/n_cams of landmarks as loop closures). Observations of a
     loop landmark form TWO runs of consecutive cameras: [c0, c0+track_len)
     and [n_cams-track_len, n_cams). Returns a BAScene."""
+    if n_cams < 2 * track_len:
+        # ADVICE r4: below this the primary run of a start-window landmark
+        # overlaps its revisit run, producing duplicate (landmark, camera)
+        # observations that downstream builders reject confusingly
+        raise ValueError(
+            f"make_loop_scene needs n_cams >= 2*track_len "
+            f"(got n_cams={n_cams}, track_len={track_len}): the revisit "
+            "run would overlap the primary run")
     rng = np.random.default_rng(seed)
     ang = 2 * np.pi * np.arange(n_cams) / n_cams
     eyes = np.stack([radius * np.cos(ang), radius * np.sin(ang),
