@@ -77,6 +77,27 @@ def _timeit(f, *args, reps=3):
     return best, out
 
 
+def _timeit_slope(run_of_n, n1, n2, reps=3):
+    """TRUE per-unit device time by the two-point slope method.
+
+    Round-5 finding (profiling/profile_r5_slope.py): through the axon
+    relay, EVERY dispatch of a nontrivial program pays a flat ~45-52 ms
+    constant regardless of the work inside — a test-harness artifact (the
+    tunnel), not the chip. Single-dispatch timings therefore overstate
+    per-iteration cost by const/n. With t(n) = const + n * t_unit,
+
+        t_unit = (t(n2) - t(n1)) / (n2 - n1)
+
+    removes the constant exactly. run_of_n(n) must return an output whose
+    actual unit count is recoverable by the caller (e.g. BAState.it);
+    returns (t1, out1, t2, out2) for the caller to form the slope with the
+    TRUE unit counts (early-converged loops run fewer than n iterations).
+    """
+    t1, out1 = _timeit(run_of_n, n1, reps=reps)
+    t2, out2 = _timeit(run_of_n, n2, reps=reps)
+    return t1, out1, t2, out2
+
+
 def _emit(result):
     print(json.dumps(result), flush=True)
 
@@ -122,11 +143,18 @@ def stage_headline(detail):
     max_iters = 20
 
     solve = jax.jit(schur_flat.solve_ba_flat, static_argnames=("max_iters",))
-    dt, out = _timeit(lambda: solve(poses0, points0, obs, work,
-                                    fixed_mask=fixed, max_iters=max_iters))
-    iters = int(out.it)
-    iters_per_s = iters / dt
-    it_ms = dt * 1e3 / max(iters, 1)
+    # TRUE per-iteration rate by the slope method (see _timeit_slope): the
+    # single-dispatch reading carries a flat ~50 ms relay constant that is
+    # the test tunnel, not the chip (r4's 4.43 ms/iter was ~40% tunnel).
+    n1, n2 = (2, 6) if SMOKE else (10, 30)
+    t1, out1, t2, out = _timeit_slope(
+        lambda mi: solve(poses0, points0, obs, work, fixed_mask=fixed,
+                         max_iters=mi), n1, n2)
+    it1, iters = int(out1.it), int(out.it)
+    t_iter = (t2 - t1) / max(iters - it1, 1)
+    iters_per_s = 1.0 / t_iter
+    it_ms = t_iter * 1e3
+    dispatch_const_ms = max(t1 - it1 * t_iter, 0.0) * 1e3
     dt_ga, out_ga = _timeit(lambda: solve(poses0, points0, obs_ga, work_ga,
                                           fixed_mask=fixed,
                                           max_iters=max_iters))
@@ -147,30 +175,40 @@ def stage_headline(detail):
     # v5e litepod chip peak: 197 TFLOP/s bf16; HIGHEST-precision f32 matmuls
     # run 6 bf16 passes -> ~32.8 TFLOP/s derived ceiling for this workload.
     # VALIDATE it (VERDICT r2 weak item 6): measure the actual ceiling with
-    # a large f32-HIGHEST matmul on this chip, this run.
+    # a large f32-HIGHEST matmul on this chip, this run — slope-timed, so
+    # the relay constant does not deflate the measured peak.
     peak_tflops = 197.0 / 6.0
     import jax.numpy as jnp
 
     nmm = 1024 if SMOKE else 4096
-    reps_mm = 2 if SMOKE else 16     # amortize the ~30 ms tunnel dispatch
     a = jnp.ones((nmm, nmm), np.float32)
 
-    @jax.jit
-    def mmf(a):
+    def mmf(reps, a):
         def body(i, x):
             y = jax.lax.dot_general(x, a, (((1,), (0,)), ((), ())),
                                     precision=jax.lax.Precision.HIGHEST)
             return y / jnp.maximum(jnp.abs(y[0, 0]), 1.0)
-        return jax.lax.fori_loop(0, reps_mm, body, a)
+        return jax.lax.fori_loop(0, reps, body, a)
 
-    dt_mm, _ = _timeit(mmf, a)
-    measured_peak = reps_mm * 2 * nmm ** 3 / dt_mm / 1e12
+    mmf_j = jax.jit(mmf, static_argnums=0)
+    r1, r2 = (1, 3) if SMOKE else (4, 20)
+    tm1, _, tm2, _ = _timeit_slope(lambda r: mmf_j(r, a), r1, r2)
+    measured_peak = (r2 - r1) * 2 * nmm ** 3 / max(tm2 - tm1, 1e-9) / 1e12
     detail.update({
         "n_cams": C, "n_points": L, "n_obs": n_obs,
         "final_cost": float(out.cost), "lm_iters": iters,
         "ms_per_iter": round(it_ms, 3),
+        "timing_method": (
+            f"slope over max_iters {n1}->{n2} (true on-chip per-iteration "
+            "time); each dispatch through the axon relay additionally pays "
+            "a flat constant recorded in dispatch_const_ms — an artifact "
+            "of the test tunnel (~0.1 ms on a local TPU host), see "
+            "profiling/profile_r5_slope.py"),
+        "dispatch_const_ms": round(dispatch_const_ms, 1),
+        "ms_per_iter_incl_dispatch": round(t2 * 1e3 / max(iters, 1), 3),
         "headline_path": "xla-flat-grid",
-        "gather_layout_iters_per_s": round(int(out_ga.it) / dt_ga, 2),
+        "gather_layout_iters_per_s_incl_dispatch":
+            round(int(out_ga.it) / dt_ga, 2),
         "flops_per_iter": flops,
         "achieved_tflops": round(achieved_tflops, 3),
         "mfu_vs_f32_highest_peak": round(achieved_tflops / peak_tflops, 4),
@@ -347,9 +385,25 @@ def stage_undistort(ctx, detail):
     px = jnp.asarray(rng.uniform([50, 50], [700, 430], (n, 2)).astype(np.float32))
     dist_px = jax.jit(lambda p: camera.distort_pixels(intr, dist, p))(px)
     f = jax.jit(lambda p: camera.undistort_points_fast(intr, dist, p))
-    dt, out = _timeit(f, dist_px, reps=2)
+    dt_raw, out = _timeit(f, dist_px, reps=2)
+
+    # TRUE throughput by slope: r4's "2x regression" (313 -> 158 Mpx/s) was
+    # entirely the ~25-50 ms relay dispatch constant varying between rounds
+    # — a single 8.4M-px dispatch is ~50 ms of tunnel + ~small real compute.
+    def rep(k, p0):
+        def body(i, p):
+            return camera.undistort_points_fast(intr, dist, p + 1e-6 * i)
+        return jax.lax.fori_loop(0, k, body, p0)
+
+    rep_j = jax.jit(rep, static_argnums=0)
+    k1, k2 = (1, 2) if SMOKE else (1, 5)
+    tu1, _, tu2, _ = _timeit_slope(lambda k: rep_j(k, dist_px), k1, k2,
+                                   reps=2)
+    per_pass = max((tu2 - tu1) / (k2 - k1), 1e-9)
     detail.update({
-        "undistort_px_per_s": round(n / dt),
+        "undistort_px_per_s": round(n / per_pass),
+        "undistort_px_per_s_incl_dispatch": round(n / dt_raw),
+        "undistort_dispatch_const_ms": round((tu1 - per_pass * k1) * 1e3, 1),
         "undistort_max_err_px": float(jnp.max(jnp.abs(out - px))),
     })
 
@@ -428,15 +482,54 @@ def stage_configs(ctx, detail):
         T_true = se3.exp(jnp.asarray([0.08, -0.05, 0.1, 0.15, -0.1, 0.05],
                                      jnp.float32))
         dst = se3.act(T_true, src)
-        icp_j = jax.jit(lambda s, d: icp_iterate(s, d, n_outer=10))
-        dt, (R_est, t_est, _, _) = _timeit(icp_j, src, dst, reps=2)
+        icp_j = jax.jit(lambda s, d, n: icp_iterate(s, d, n_outer=n),
+                        static_argnums=2)
+        # slope over sweep count: true per-sweep device time x 10 sweeps
+        # (single-dispatch carries the ~50 ms relay constant)
+        i1, i2 = (2, 4) if SMOKE else (5, 15)
+        ti1, _, ti2, (R_est, t_est, _, _) = _timeit_slope(
+            lambda n: icp_j(src, dst, n), i1, i2, reps=2)
+        per_sweep = (ti2 - ti1) / (i2 - i1)
         terr = float(jnp.max(jnp.abs(t_est - T_true.t)))
-        out["icp_se3_ms"] = round(dt * 1e3, 2)
+        out["icp_se3_ms"] = round(per_sweep * 10 * 1e3, 2)
+        out["icp_se3_ms_incl_dispatch"] = round(
+            (ti1 + per_sweep * (10 - i1)) * 1e3, 2)
         out["icp_n_points"] = n_icp
         out["icp_t_err"] = terr
         ctx["_icp_arrays"] = (src, dst)
 
     _cfg("icp", _icp)
+
+    # honest CPU comparator (VERDICT r4 weak 3): scipy cKDTree ICP — the
+    # NORMAL single-core implementation (NN via kd-tree, as the reference
+    # uses PCL's kd-tree, st10 detector.cpp:458-467), replacing the O(N^2)
+    # brute-force numpy strawman as the quoted column.
+    def icp_ckdtree():
+        from scipy.spatial import cKDTree
+
+        src, dst = ctx["_icp_arrays"]
+        s = np.array(src, np.float32)
+        d = np.array(dst, np.float32)
+        tree = cKDTree(d)
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+        for _ in range(10):
+            cur = s @ R.T + t
+            _, nn = tree.query(cur, k=1)
+            m = d[nn]
+            mu_s, mu_m = cur.mean(0), m.mean(0)
+            H = (cur - mu_s).T @ (m - mu_m)
+            Uu, _, Vt = np.linalg.svd(H)
+            Rd = Vt.T @ np.diag([1, 1, np.linalg.det(Vt.T @ Uu.T)]) @ Uu.T
+            R = (Rd @ R).astype(np.float32)
+            t = Rd @ (t - mu_s) + mu_m
+        return R, t
+
+    if "_icp_arrays" in ctx:
+        def _icp_kd():
+            dtk, _ = _cpu_best(icp_ckdtree, reps=2)
+            out["icp_ckdtree_singlecore_ms"] = round(dtk * 1e3, 2)
+        _cfg("icp_ckdtree", _icp_kd)
 
     # comparator: single-core numpy, SAME algorithm (10 sweeps of brute NN
     # + Kabsch — the reference's icp_no_binding role, st6-icp/src/include/
@@ -478,15 +571,32 @@ def stage_configs(ctx, detail):
         cpu = jax.devices("cpu")[0]
         init_j = jax.jit(calibrate_closed_form, device=cpu)
         dt_init, (intr0, _, poses0) = _timeit(init_j, cs.board_pts,
-                                              cs.image_pts, reps=2)
+                                              cs.image_pts, reps=5)
         init_dev = jax.device_put((intr0, poses0), ctx["dev"])
+
+        # slope-loop the WHOLE refine (K back-to-back solves in one jit):
+        # the per-solve slope is the true device time; the single-dispatch
+        # number (r4: 27.6-45 ms) was almost entirely the relay constant
+        def rep(k, bp, ip, ini):
+            def body(i, acc):
+                res = calibrate(bp, ip + 0.0 * acc, max_iters=30, init=ini)
+                return res.final_cost
+            return jax.lax.fori_loop(0, k, body,
+                                     jnp.zeros((), bp.dtype))
+        rep_j = jax.jit(rep, static_argnums=0)
+        k1, k2 = (1, 2) if SMOKE else (1, 4)
+        tz1, _, tz2, _ = _timeit_slope(
+            lambda k: rep_j(k, cs.board_pts, cs.image_pts, init_dev),
+            k1, k2, reps=2)
+        dt = max((tz2 - tz1) / (k2 - k1), 1e-9)
         calib_j = jax.jit(lambda bp, ip, ini: calibrate(bp, ip, max_iters=30,
                                                         init=ini))
-        dt, res = _timeit(calib_j, cs.board_pts, cs.image_pts, init_dev,
-                          reps=2)
+        dt_raw, res = _timeit(calib_j, cs.board_pts, cs.image_pts, init_dev,
+                              reps=2)
         out["zhang_ms"] = round((dt + dt_init) * 1e3, 2)
         out["zhang_init_cpu_ms"] = round(dt_init * 1e3, 2)
         out["zhang_refine_ms"] = round(dt * 1e3, 2)
+        out["zhang_refine_ms_incl_dispatch"] = round(dt_raw * 1e3, 2)
         out["zhang_fx_err"] = float(jnp.abs(res.intrinsics.fx - cs.fx))
 
     _cfg("zhang", _zhang)
@@ -514,10 +624,37 @@ def stage_configs(ctx, detail):
                        dtype=np.float32)
 
     def _two_view():
+        # slope-loop the full pipeline AND the init-only pipeline so the
+        # cv2 column compares like work (VERDICT r4 weak 4: cv2 does
+        # init+triangulation only; our two_view_ms included the joint
+        # 2-camera refinement)
+        def rep(k, ri, a, b):
+            def body(i, acc):
+                r = solve_two_view(a + 0.0 * acc, b, refine_iters=ri)
+                return r.final_cost.astype(a.dtype)
+            return jax.lax.fori_loop(0, k, body, jnp.zeros((), a.dtype))
+        rep_j = jax.jit(rep, static_argnums=(0, 1))
+        k1, k2 = (1, 2) if SMOKE else (1, 4)
+
+        def slope(ri):
+            tvs1, _, tvs2, _ = _timeit_slope(
+                lambda k: rep_j(k, ri, tv.uv1, tv.uv2), k1, k2, reps=2)
+            return max((tvs2 - tvs1) / (k2 - k1), 1e-9)
+
+        dt_full = slope(15)
+        dt_init = slope(0)
         tv_j = jax.jit(lambda a, b: solve_two_view(a, b, refine_iters=15))
-        dt, r = _timeit(tv_j, tv.uv1, tv.uv2, reps=2)
-        out["two_view_ms"] = round(dt * 1e3, 2)
+        dt_raw, r = _timeit(tv_j, tv.uv1, tv.uv2, reps=2)
+        out["two_view_ms"] = round(dt_full * 1e3, 2)
+        out["two_view_ms_incl_dispatch"] = round(dt_raw * 1e3, 2)
+        out["two_view_init_tri_only_ms"] = round(dt_init * 1e3, 2)
+        out["two_view_refine_only_ms"] = round((dt_full - dt_init) * 1e3, 2)
         out["two_view_final_cost"] = float(r.final_cost)
+        # time-to-equal-cost column: the cost our init-only output reaches
+        # (what the cv2 pipeline's work level achieves) vs after refinement
+        r0 = jax.jit(lambda a, b: solve_two_view(a, b, refine_iters=0))(
+            tv.uv1, tv.uv2)
+        out["two_view_init_only_cost"] = float(r0.final_cost)
 
     _cfg("two_view", _two_view)
     try:
@@ -542,8 +679,9 @@ def stage_configs(ctx, detail):
 
 
 def stage_breakdown(ctx, detail):
-    """Per-stage ms of the xla flat iteration (amortized K-loop inside one
-    jit: the tunnel adds ~25-70 ms per dispatch)."""
+    """Per-stage ms of the xla flat iteration, SLOPE-timed (round-5: a
+    single amortization count still leaves const/AMORT ~ 1.5 ms of relay
+    tax in every number; the two-point slope removes it exactly)."""
     import jax
     import jax.numpy as jnp
 
@@ -552,14 +690,14 @@ def stage_breakdown(ctx, detail):
     poses0, points0, obs, work = (ctx["poses0"], ctx["points0"], ctx["obs"],
                                   ctx["work"])
     C, L, dtype, fixed = ctx["C"], ctx["L"], ctx["dtype"], ctx["fixed"]
-    AMORT = 32
+    A1, A2 = (4, 12) if SMOKE else (8, 40)
 
     def loop_jit(stage_fn):
-        def run(x):
+        def run(k, x):
             def body(i, acc):
                 return acc + stage_fn(i)
-            return jax.lax.fori_loop(0, AMORT, body, jnp.asarray(0.0, dtype))
-        return jax.jit(run)
+            return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0, dtype))
+        return jax.jit(run, static_argnums=0)
 
     def stage_lin(i):
         o = schur_flat._iteration_quantities(poses0, points0 + 0.0 * i, obs,
@@ -587,38 +725,42 @@ def stage_breakdown(ctx, detail):
                      ("schur_solve_ms", stage_solve),
                      ("cost_eval_ms", stage_cost)):
         jfn = loop_jit(fn)
-        dt, _ = _timeit(jfn, jnp.zeros((), dtype))
-        stages[name] = round(dt * 1e3 / AMORT, 4)
+        d1, _, d2, _ = _timeit_slope(lambda k: jfn(k, jnp.zeros((), dtype)),
+                                     A1, A2, reps=2)
+        stages[name] = round((d2 - d1) * 1e3 / (A2 - A1), 4)
         # HBM bytes from XLA's own cost model (VERDICT r3 item 3): per-stage
-        # bytes accessed of the compiled amortized loop, divided by AMORT
+        # bytes accessed of the compiled amortized loop, differenced between
+        # the two amortization counts (removes loop-invariant setup bytes)
         try:
-            ca = jfn.lower(jnp.zeros((), dtype)).compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            by = float(ca.get("bytes accessed", 0.0)) / AMORT
+            def _bytes(k):
+                ca = jfn.lower(k, jnp.zeros((), dtype)).compile() \
+                    .cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                return float(ca.get("bytes accessed", 0.0))
+            by = (_bytes(A2) - _bytes(A1)) / (A2 - A1)
             roof[name.replace("_ms", "_MB")] = round(by / 1e6, 1)
             total_bytes += by
         except Exception as e:
             roof[f"{name}_bytes_error"] = type(e).__name__
 
-    # measured copy bandwidth ceiling: REPS dynamic rolls of a 256 MB array
-    # inside one jit. A v+1-style body FUSES across iterations into a single
-    # memory pass (elementwise chains collapse); a roll whose shift depends
-    # on the loop index cannot, so every iteration genuinely moves
-    # 2x the array through HBM. REPS amortizes the ~30-70 ms tunnel
-    # dispatch to a few percent.
+    # measured copy bandwidth ceiling: dynamic rolls of a 256 MB array
+    # inside one jit, slope between two repeat counts. A v+1-style body
+    # FUSES across iterations into a single memory pass (elementwise chains
+    # collapse); a roll whose shift depends on the loop index cannot, so
+    # every iteration genuinely moves 2x the array through HBM.
     nbw = 1 << 20 if SMOKE else 1 << 26
-    xbw = jnp.ones((nbw,), np.float32)
-    REPS = 4 if SMOKE else 64
 
-    @jax.jit
-    def bwf(x):
+    def bwf(k, x):
         def body(i, v):
             return jnp.roll(v, i + 1)
-        return jax.lax.fori_loop(0, REPS, body, x)
+        return jax.lax.fori_loop(0, k, body, x)
 
-    dtb, _ = _timeit(bwf, xbw)
-    gbps = REPS * 2 * nbw * 4 / dtb / 1e9
+    bwf_j = jax.jit(bwf, static_argnums=0)
+    xbw = jnp.ones((nbw,), np.float32)
+    B1, B2 = (2, 6) if SMOKE else (16, 64)
+    db1, _, db2, _ = _timeit_slope(lambda k: bwf_j(k, xbw), B1, B2, reps=2)
+    gbps = (B2 - B1) * 2 * nbw * 4 / max(db2 - db1, 1e-9) / 1e9
     it_ms = detail.get("ms_per_iter", 0.0)
     roof.update({
         "bytes_per_iter_MB": round(total_bytes / 1e6, 1),
