@@ -180,3 +180,26 @@ class TestPlanar:
         xi = jnp.asarray([0.3, -0.2, 1e-14])
         T = se2.exp(xi)
         np.testing.assert_allclose(np.asarray(se2.log(T)), np.asarray(xi), atol=1e-10)
+
+
+def test_jl_inv_f32_small_angles_finite():
+    """Round-5 regression: with the f64-tuned Taylor switch (theta^2 <
+    1e-8), f32 jl_inv returned inf at theta ~ 2e-4 (1 - cos rounds to 0),
+    NaN-ing every pose-graph trial cost. The switch is now dtype-aware and
+    cosc uses the cancellation-free half-angle form."""
+    import jax.numpy as jnp
+
+    from slam_tricks_tpu.manifolds import so3
+
+    for th in [1e-7, 1e-5, 2.3e-4, 1e-3, 0.02, 0.1, 0.199, 0.201, 1.0]:
+        w64 = jnp.asarray([0.6, 0.48, -0.64], jnp.float64) * th
+        J64 = np.asarray(so3.jl_inv(w64))
+        J32 = np.asarray(so3.jl_inv(w64.astype(jnp.float32)))
+        assert np.isfinite(J32).all(), th
+        np.testing.assert_allclose(J32, J64, atol=5e-7)
+        # and through the exp/log/jl chain used by se3.log
+        from slam_tricks_tpu.manifolds import se3
+        T = se3.exp(jnp.concatenate([jnp.asarray([0.1, -0.2, 0.3]),
+                                     w64]).astype(jnp.float32))
+        xi = se3.log(T)
+        assert np.isfinite(np.asarray(xi)).all(), th
