@@ -132,32 +132,37 @@ def stage_headline(detail):
         obs_h = schur_flat.grid_order_obs(scene.obs, L, dtype=dtype)
         work_h = schur_flat.build_flat_work(obs_h, C, L, dtype=dtype,
                                             grid=True)
-        work_gather_h = schur_flat.build_flat_work(scene.obs, C, L,
-                                                   dtype=dtype)
+        from slam_tricks_tpu.solvers import schur_flat_sm
+        swork_h = schur_flat_sm.build_slot_work(scene.obs, C, L, dtype=dtype)
     dev = jax.devices()[0]
-    poses0, points0, fixed, obs, work, obs_ga, work_ga = jax.device_put(
-        (poses0_h, points0_h, fixed_h, obs_h, work_h, scene.obs,
-         work_gather_h), dev)
+    poses0, points0, fixed, obs, work, swork = jax.device_put(
+        (poses0_h, points0_h, fixed_h, obs_h, work_h, swork_h), dev)
     n_obs = int(np.sum(np.asarray(scene.obs.weight) > 0))
     K = work.mask_lk.shape[1]
     max_iters = 20
 
-    solve = jax.jit(schur_flat.solve_ba_flat, static_argnames=("max_iters",))
-    # TRUE per-iteration rate by the slope method (see _timeit_slope): the
+    # HEADLINE: the slot-major path (solvers/schur_flat_sm — r5), TRUE
+    # per-iteration rate by the slope method (see _timeit_slope): the
     # single-dispatch reading carries a flat ~50 ms relay constant that is
     # the test tunnel, not the chip (r4's 4.43 ms/iter was ~40% tunnel).
+    solve_sm = jax.jit(schur_flat_sm.solve_ba_flat_sm,
+                       static_argnames=("max_iters",))
     n1, n2 = (2, 6) if SMOKE else (10, 30)
     t1, out1, t2, out = _timeit_slope(
-        lambda mi: solve(poses0, points0, obs, work, fixed_mask=fixed,
-                         max_iters=mi), n1, n2)
+        lambda mi: solve_sm(poses0, points0, swork, fixed_mask=fixed,
+                            max_iters=mi), n1, n2)
     it1, iters = int(out1.it), int(out.it)
     t_iter = (t2 - t1) / max(iters - it1, 1)
     iters_per_s = 1.0 / t_iter
     it_ms = t_iter * 1e3
     dispatch_const_ms = max(t1 - it1 * t_iter, 0.0) * 1e3
-    dt_ga, out_ga = _timeit(lambda: solve(poses0, points0, obs_ga, work_ga,
-                                          fixed_mask=fixed,
-                                          max_iters=max_iters))
+
+    # previous-round l-major grid path, same slope method (the A/B column)
+    solve = jax.jit(schur_flat.solve_ba_flat, static_argnames=("max_iters",))
+    g1, outg1, g2, out_ga = _timeit_slope(
+        lambda mi: solve(poses0, points0, obs, work, fixed_mask=fixed,
+                         max_iters=mi), n1, n2)
+    t_iter_lm = (g2 - g1) / max(int(out_ga.it) - int(outg1.it), 1)
 
     # useful-FLOP estimate and achieved rate
     N = obs.cam_idx.shape[0]
@@ -206,9 +211,8 @@ def stage_headline(detail):
             "profiling/profile_r5_slope.py"),
         "dispatch_const_ms": round(dispatch_const_ms, 1),
         "ms_per_iter_incl_dispatch": round(t2 * 1e3 / max(iters, 1), 3),
-        "headline_path": "xla-flat-grid",
-        "gather_layout_iters_per_s_incl_dispatch":
-            round(int(out_ga.it) / dt_ga, 2),
+        "headline_path": "xla-flat-slot-major (schur_flat_sm)",
+        "lmajor_grid_iters_per_s": round(1.0 / t_iter_lm, 2),
         "flops_per_iter": flops,
         "achieved_tflops": round(achieved_tflops, 3),
         "mfu_vs_f32_highest_peak": round(achieved_tflops / peak_tflops, 4),
@@ -218,7 +222,8 @@ def stage_headline(detail):
     })
     ctx = {"scene": scene, "poses0_h": poses0_h, "points0_h": points0_h,
            "fixed_h": fixed_h, "poses0": poses0, "points0": points0,
-           "fixed": fixed, "obs": obs, "work": work, "C": C, "L": L,
+           "fixed": fixed, "obs": obs, "work": work, "swork": swork,
+           "C": C, "L": L,
            "max_iters": max_iters, "dtype": dtype, "dev": dev,
            "xla_iters_per_s": iters_per_s}
     return iters_per_s, ctx
@@ -821,6 +826,76 @@ def stage_large_scale(ctx, detail):
                     "points0": points0, "fixed": fixed, "obs": obs_d}
 
 
+def stage_large_scale_general(ctx, detail):
+    """GENERAL long-span visibility at large C (VERDICT r4 item 2): the
+    st20 cube-room structure scaled to C=1024 — every wall landmark seen
+    from a large arc of the spiral (mean track ~370 of 1024 cameras), so
+    the reduced camera system is genuinely DENSE and no banded/loop
+    decomposition applies. Solved by the slot-major flat path in its
+    large-C mode (gather-table camera ops + device-built bf16 track
+    one-hot for the B build + dense (6C)^2 Schur + Cholesky).
+
+    Comparator: the C++ single-core sparse-Schur baseline on the same
+    scene (the Ceres-class number; the r4 gather-table PCG fallback that
+    lost to dense is retired by this path)."""
+    import jax
+
+    from slam_tricks_tpu.sim import make_scene, perturb_scene
+    from slam_tricks_tpu.solvers import schur_flat_sm
+
+    dtype = np.float32
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if SMOKE:
+            scene = make_scene(n_per_wall=60, n_cams=24, seed=5, dtype=dtype)
+        else:
+            scene = make_scene(n_per_wall=1200, n_cams=1024, seed=5,
+                               dtype=dtype)
+        poses0, points0, fixed = perturb_scene(
+            scene, pose_rot_noise=0.002, pose_trans_noise=0.01,
+            point_noise=0.01, seed=6)
+        C, L = scene.n_cams, scene.n_points
+        swork = schur_flat_sm.build_slot_work(scene.obs, C, L, dtype=dtype,
+                                              use_onehot=False)
+    poses0_d, points0_d, fixed_d, swork = jax.device_put(
+        (poses0, points0, fixed, swork), ctx["dev"])
+
+    solve = jax.jit(schur_flat_sm.solve_ba_flat_sm,
+                    static_argnames=("max_iters",))
+    m1, m2 = (2, 4) if SMOKE else (3, 9)
+    t1, out1, t2, out = _timeit_slope(
+        lambda mi: solve(poses0_d, points0_d, swork, fixed_mask=fixed_d,
+                         max_iters=mi), m1, m2, reps=2)
+    it1, it2 = int(out1.it), int(out.it)
+    t_iter = (t2 - t1) / max(it2 - it1, 1)
+    d = {
+        "n_cams": C, "n_points": L,
+        "n_obs": int(np.sum(np.asarray(scene.obs.weight) > 0)),
+        "track_len_mean": round(float(np.mean(np.bincount(
+            np.asarray(scene.obs.lm_idx)[
+                np.asarray(scene.obs.weight) > 0], minlength=L))), 1),
+        "sm_ms_per_iter": round(t_iter * 1e3, 2),
+        "sm_final_cost": float(out.cost), "sm_lm_iters": it2,
+        "structure": "dense reduced camera system (landmark span ~C/3)",
+    }
+    detail["large_scale_general"] = d
+    if not SMOKE and _left() > 240:
+        try:
+            from slam_tricks_tpu.native import schur_ba_solve_native
+            obs = scene.obs
+            nat = schur_ba_solve_native(
+                np.asarray(poses0.R, np.float64),
+                np.asarray(poses0.t, np.float64),
+                np.asarray(points0, np.float64), np.asarray(obs.cam_idx),
+                np.asarray(obs.lm_idx), np.asarray(obs.uv, np.float64),
+                np.asarray(obs.weight, np.float64), np.asarray(fixed),
+                max_iters=2)
+            d["native_schur_singlecore_ms_per_iter"] = round(
+                nat["wall_ms"] / max(nat["iters"], 1), 1)
+        except Exception as e:
+            d["native_error"] = type(e).__name__
+
+
 def stage_loop_scale(ctx, detail):
     """C=1024 LOOP-CLOSURE scene (landmarks near the trajectory start
     re-observed by the final cameras) through the banded+Woodbury solver
@@ -904,31 +979,129 @@ def stage_loop_dense_comparator(ctx, detail):
 
 
 def stage_posegraph(ctx, detail):
-    """10k-pose chain+loop-closure pose-graph LM (solve_pose_graph_chain) —
-    run in a SUBPROCESS with its own jax config (CPU backend + x64): the
-    chain solve needs f64 past N ~ 600, TPU f64 is software-emulated
-    (measured 966 ms/iter at N=2048, and the N=10k f64 program faults the
-    tunneled device), and enabling x64 in THIS process makes the tunneled
-    toolchain SIGABRT on the configs stage's SVD chains. Pose graphs are
-    KB-sized problems — a host-precision solve by design (VERDICT r3
-    item 5)."""
-    import subprocess
+    """10k-pose chain+loop-closure pose-graph LM, TPU-NATIVE in f32
+    (VERDICT r4 item 3): the relative-state formulation
+    (solve_pose_graph_relative) removes the ~N^3 chain conditioning
+    structurally, so the solve runs in-process on the chip in f32 —
+    no more CPU-f64 subprocess. Slope-timed.
+
+    External comparator: scipy SuperLU (splu) factor+solve of the SAME
+    damped absolute-state normal equations (60k x 60k sparse, f64, single
+    core) — the linear-algebra engine a g2o/Ceres-class CPU solver pays
+    per LM iteration (anything-not-us anchor)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_tricks_tpu.manifolds import se3
+    from slam_tricks_tpu.solvers.posegraph import (build_chain_work,
+                                                   solve_pose_graph_relative)
 
     N = 512 if SMOKE else 10_000
     n_loops = 8 if SMOKE else 64
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
-    r = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "profiling", "posegraph_bench.py"),
-         str(N), str(n_loops)],
-        capture_output=True, text=True, timeout=900, env=env)
-    for line in reversed(r.stdout.splitlines()):
-        if line.startswith("{"):
-            detail["posegraph"] = json.loads(line)
-            return
-    raise RuntimeError(f"posegraph subprocess rc={r.returncode}: "
-                       f"{r.stderr[-200:]}")
+    dtype = np.float32
+    rng = np.random.default_rng(17)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        ang = 2 * np.pi * np.arange(N) / N
+        t_true = np.stack([10 * np.cos(ang), 10 * np.sin(ang),
+                           0.1 * np.sin(3 * ang)], 1)
+        Rt = np.stack([np.array([[np.cos(a), -np.sin(a), 0],
+                                 [np.sin(a), np.cos(a), 0],
+                                 [0, 0, 1]]) for a in ang])
+        poses_true = se3.SE3(jnp.asarray(Rt.astype(dtype)),
+                             jnp.asarray(t_true.astype(dtype)))
+        ii = np.concatenate([np.arange(N - 1),
+                             rng.integers(0, N // 4, n_loops)])
+        jj = np.concatenate([np.arange(1, N),
+                             rng.integers(3 * N // 4, N, n_loops)])
+        Ti = jax.tree_util.tree_map(lambda a: a[ii], poses_true)
+        Tj = jax.tree_util.tree_map(lambda a: a[jj], poses_true)
+        Zc = jax.vmap(lambda a, b: se3.mul(se3.inv(a), b))(Ti, Tj)
+        scale = np.where(np.arange(len(ii)) < N - 1, 0.002, 0.0005)
+        xi = rng.normal(size=(len(ii), 6)) * scale[:, None]
+        Z = jax.vmap(lambda T, x: se3.mul(T, se3.exp(x)))(
+            Zc, jnp.asarray(xi.astype(dtype)))
+        info = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (len(ii), 6, 6))
+        R0, t0 = [Rt[0]], [t_true[0]]
+        Zr, Zt = np.asarray(Z.R, np.float64), np.asarray(Z.t, np.float64)
+        for k in range(N - 1):
+            R0.append(R0[-1] @ Zr[k])
+            t0.append(R0[-2] @ Zt[k] + t0[-1])
+        poses0 = se3.SE3(jnp.asarray(np.stack(R0).astype(dtype)),
+                         jnp.asarray(np.stack(t0).astype(dtype)))
+        work = build_chain_work(ii, jj, Z, info, N, dtype=dtype)
+    poses0_d, work_d = jax.device_put((poses0, work), ctx["dev"])
+
+    solve = jax.jit(solve_pose_graph_relative,
+                    static_argnames=("max_iters",))
+    m1, m2 = (3, 6) if SMOKE else (10, 30)
+    t1, out1, t2, out = _timeit_slope(
+        lambda mi: solve(poses0_d, work_d, max_iters=mi), m1, m2, reps=2)
+    it1, it2 = int(out1.it), int(out.it)
+    t_iter = (t2 - t1) / max(it2 - it1, 1)
+    err0 = float(np.sqrt(np.mean((np.stack(t0) - t_true) ** 2)))
+    err = float(np.sqrt(np.mean(
+        (np.asarray(out.poses.t, np.float64) - t_true) ** 2)))
+    detail["posegraph"] = {
+        "backend": "tpu f32, relative-state formulation "
+                   "(solve_pose_graph_relative) — block-diagonal chain "
+                   "Hessian + rank-6-per-loop Woodbury",
+        "n_poses": N, "n_loop_edges": int(n_loops),
+        "ms_per_iter": round(t_iter * 1e3, 2), "lm_iters": it2,
+        "final_cost": float(out.cost),
+        "ate_before": round(err0, 4), "ate_after": round(err, 4),
+    }
+    # external comparator: SuperLU on the damped absolute-state normal
+    # equations (the per-iteration linear algebra of a CPU sparse solver)
+    try:
+        import time as _time
+
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.linalg import splu
+
+        from slam_tricks_tpu.solvers.posegraph import _edge_linearize
+        with jax.default_device(cpu):
+            r_, Ji, Jj = _edge_linearize(
+                jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32), poses0),
+                jnp.asarray(ii), jnp.asarray(jj), Z, info)
+            Ji = np.asarray(Ji, np.float64)
+            Jj = np.asarray(Jj, np.float64)
+            rnp = np.asarray(r_, np.float64)
+        E = len(ii)
+        blocks, rows, cols = [], [], []
+        br = np.arange(6)
+        for (a_idx, Ja) in ((ii, Ji), (jj, Jj)):
+            for (b_idx, Jb) in ((ii, Ji), (jj, Jj)):
+                Hab = np.einsum("eri,erj->eij", Ja, Jb)
+                r0 = (6 * a_idx[:, None, None] + br[None, :, None])
+                c0 = (6 * b_idx[:, None, None] + br[None, None, :])
+                blocks.append(Hab.ravel())
+                rows.append(np.broadcast_to(r0, (E, 6, 6)).ravel())
+                cols.append(np.broadcast_to(c0, (E, 6, 6)).ravel())
+        H = coo_matrix((np.concatenate(blocks),
+                        (np.concatenate(rows), np.concatenate(cols))),
+                       shape=(6 * N, 6 * N)).tocsc()
+        lam = 1e-6
+        Hd = H + lam * __import__("scipy.sparse", fromlist=["eye"]).eye(
+            6 * N, format="csc")
+        g = np.zeros(6 * N)
+        np.add.at(g, (6 * ii[:, None] + br[None]).ravel(),
+                  np.einsum("eri,er->ei", Ji, rnp).ravel())
+        np.add.at(g, (6 * jj[:, None] + br[None]).ravel(),
+                  np.einsum("eri,er->ei", Jj, rnp).ravel())
+        tb = _time.perf_counter()
+        lu = splu(Hd)
+        _ = lu.solve(-g)
+        dt_lu = _time.perf_counter() - tb
+        detail["posegraph"]["scipy_splu_factor_solve_ms"] = round(
+            dt_lu * 1e3, 1)
+        detail["posegraph"]["scipy_splu_note"] = (
+            "single-core SuperLU factor+solve of the damped absolute-state "
+            "normal equations (6N x 6N, f64) — the per-LM-iteration linear "
+            "algebra of a g2o/Ceres-class CPU solver on this graph")
+    except Exception as e:
+        detail["posegraph"]["scipy_error"] = f"{type(e).__name__}: {e}"[:160]
 
 
 def stage_weak_scaling(ctx, detail):
@@ -1254,6 +1427,8 @@ def main():
         ("pnp", lambda: stage_pnp(ctx, detail), 60),
         ("breakdown", lambda: stage_breakdown(ctx, detail), 60),
         ("large_scale", lambda: stage_large_scale(ctx, detail), 180),
+        ("large_scale_general",
+         lambda: stage_large_scale_general(ctx, detail), 200),
         ("loop_scale", lambda: stage_loop_scale(ctx, detail), 150),
         ("configs", lambda: stage_configs(ctx, detail), 90),
         ("large_dense_comparator",

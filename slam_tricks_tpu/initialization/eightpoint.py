@@ -39,7 +39,7 @@ def fundamental_8pt(p1, p2, weights=None, return_ok=False):
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=1)
     if weights is not None:
         A = A * weights[:, None]
-    _, sv, Vt = jnp.linalg.svd(A, full_matrices=True)
+    _, sv, Vt = jnp.linalg.svd(A, full_matrices=False)
     F = Vt[-1].reshape(3, 3)
     # rank-2 projection
     U, S, Vt2 = jnp.linalg.svd(F)
@@ -106,7 +106,7 @@ def triangulate_midpoint(R, t, p1, p2):
     P1 = jnp.concatenate([jnp.eye(3, dtype=p1.dtype), jnp.zeros((3, 1), p1.dtype)], axis=1)
     P2 = jnp.concatenate([R, t[:, None]], axis=1)
     A = jnp.concatenate([so3.hat(x1) @ P1, so3.hat(x2) @ P2], axis=0)  # (6,4)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
     Xh = Vt[-1]
     # near-parallel rays put the point at infinity (Xh[3] -> 0); clamp the
     # homogeneous divide so the result stays finite and FAILS the cheirality

@@ -37,7 +37,7 @@ def intrinsics_from_homographies(Hs):
         rows.append(_v_ij(H, 0, 1))
         rows.append(_v_ij(H, 0, 0) - _v_ij(H, 1, 1))
     A = jnp.stack(rows)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
     b = Vt[-1]
     B11, B12, B22, B13, B23, B33 = b[0], b[1], b[2], b[3], b[4], b[5]
     # closed-form recovery (Zhang eq. (13)-ff; calib.cpp:120-140)

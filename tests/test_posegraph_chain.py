@@ -125,3 +125,44 @@ def test_no_loop_edges():
     work = build_chain_work(ii, jj, Z, info, N, dtype=dtype)
     out = solve_pose_graph_chain(poses0, work, fixed_mask=fixed, max_iters=8)
     np.testing.assert_allclose(float(out.cost), float(ref.cost), rtol=1e-8)
+
+
+def test_relative_parity_vs_dense():
+    """solve_pose_graph_relative reaches the dense solver's optimum (the
+    LM trajectories differ — damping acts in relative coordinates — so
+    parity is at the converged cost, not per-iteration)."""
+    pt, p0, ii, jj, Z, info = make_graph(60, 6, seed=0)
+    out_d = solve_pose_graph(p0, ii, jj, Z, info, max_iters=30)
+    work = build_chain_work(ii, jj, Z, info, 60)
+    from slam_tricks_tpu.solvers.posegraph import solve_pose_graph_relative
+    out_r = solve_pose_graph_relative(p0, work, max_iters=30)
+    np.testing.assert_allclose(float(out_r.cost), float(out_d.cost),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_r.poses.t),
+                               np.asarray(out_d.poses.t), atol=1e-3)
+
+
+def test_relative_f32_matches_f64_chain_at_n2048():
+    """The f32-NATIVE large-N path (VERDICT r4 item 3): at N=2048 — far
+    beyond the N~600 where the absolute-state formulation loses all f32
+    progress — the relative-state solver in pure f32 must reach the f64
+    chain solver's optimum."""
+    import jax.numpy as jnp
+
+    from slam_tricks_tpu.solvers.posegraph import solve_pose_graph_relative
+
+    N = 2048
+    pt, p0, ii, jj, Z, info = make_graph(N, 16, seed=1)
+    work64 = build_chain_work(ii, jj, Z, info, N, dtype=np.float64)
+    out64 = solve_pose_graph_chain(p0, work64, max_iters=20)
+    f32 = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+    work32 = build_chain_work(ii, jj, Z, info, N, dtype=np.float32)
+    out32 = solve_pose_graph_relative(f32(p0), work32, max_iters=20)
+    np.testing.assert_allclose(float(out32.cost), float(out64.cost),
+                               rtol=1e-2)
+    ate64 = float(jnp.sqrt(jnp.mean((out64.poses.t - pt.t) ** 2)))
+    ate32 = float(jnp.sqrt(jnp.mean(
+        (out32.poses.t.astype(jnp.float64) - pt.t) ** 2)))
+    assert abs(ate32 - ate64) < 0.01 * max(ate64, 0.01)
