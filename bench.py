@@ -98,6 +98,15 @@ def _timeit_slope(run_of_n, n1, n2, reps=3):
     return t1, out1, t2, out2
 
 
+def _safe_slope(t1, n1, t2, n2):
+    """Per-unit slope, falling back to the inclusive rate when timing noise
+    makes the difference non-positive (tiny problems: per-unit time below
+    the run-to-run jitter of the dispatch constant)."""
+    if n2 > n1 and t2 > t1:
+        return (t2 - t1) / (n2 - n1)
+    return t2 / max(n2, 1)
+
+
 def _emit(result):
     print(json.dumps(result), flush=True)
 
@@ -152,7 +161,7 @@ def stage_headline(detail):
         lambda mi: solve_sm(poses0, points0, swork, fixed_mask=fixed,
                             max_iters=mi), n1, n2)
     it1, iters = int(out1.it), int(out.it)
-    t_iter = (t2 - t1) / max(iters - it1, 1)
+    t_iter = _safe_slope(t1, it1, t2, iters)
     iters_per_s = 1.0 / t_iter
     it_ms = t_iter * 1e3
     dispatch_const_ms = max(t1 - it1 * t_iter, 0.0) * 1e3
@@ -162,7 +171,7 @@ def stage_headline(detail):
     g1, outg1, g2, out_ga = _timeit_slope(
         lambda mi: solve(poses0, points0, obs, work, fixed_mask=fixed,
                          max_iters=mi), n1, n2)
-    t_iter_lm = (g2 - g1) / max(int(out_ga.it) - int(outg1.it), 1)
+    t_iter_lm = _safe_slope(g1, int(outg1.it), g2, int(out_ga.it))
 
     # useful-FLOP estimate and achieved rate
     N = obs.cam_idx.shape[0]
@@ -198,7 +207,7 @@ def stage_headline(detail):
     mmf_j = jax.jit(mmf, static_argnums=0)
     r1, r2 = (1, 3) if SMOKE else (4, 20)
     tm1, _, tm2, _ = _timeit_slope(lambda r: mmf_j(r, a), r1, r2)
-    measured_peak = (r2 - r1) * 2 * nmm ** 3 / max(tm2 - tm1, 1e-9) / 1e12
+    measured_peak = 2 * nmm ** 3 / _safe_slope(tm1, r1, tm2, r2) / 1e12
     detail.update({
         "n_cams": C, "n_points": L, "n_obs": n_obs,
         "final_cost": float(out.cost), "lm_iters": iters,
@@ -404,7 +413,7 @@ def stage_undistort(ctx, detail):
     k1, k2 = (1, 2) if SMOKE else (1, 5)
     tu1, _, tu2, _ = _timeit_slope(lambda k: rep_j(k, dist_px), k1, k2,
                                    reps=2)
-    per_pass = max((tu2 - tu1) / (k2 - k1), 1e-9)
+    per_pass = _safe_slope(tu1, k1, tu2, k2)
     detail.update({
         "undistort_px_per_s": round(n / per_pass),
         "undistort_px_per_s_incl_dispatch": round(n / dt_raw),
@@ -494,7 +503,7 @@ def stage_configs(ctx, detail):
         i1, i2 = (2, 4) if SMOKE else (5, 15)
         ti1, _, ti2, (R_est, t_est, _, _) = _timeit_slope(
             lambda n: icp_j(src, dst, n), i1, i2, reps=2)
-        per_sweep = (ti2 - ti1) / (i2 - i1)
+        per_sweep = _safe_slope(ti1, i1, ti2, i2)
         terr = float(jnp.max(jnp.abs(t_est - T_true.t)))
         out["icp_se3_ms"] = round(per_sweep * 10 * 1e3, 2)
         out["icp_se3_ms_incl_dispatch"] = round(
@@ -593,7 +602,7 @@ def stage_configs(ctx, detail):
         tz1, _, tz2, _ = _timeit_slope(
             lambda k: rep_j(k, cs.board_pts, cs.image_pts, init_dev),
             k1, k2, reps=2)
-        dt = max((tz2 - tz1) / (k2 - k1), 1e-9)
+        dt = _safe_slope(tz1, k1, tz2, k2)
         calib_j = jax.jit(lambda bp, ip, ini: calibrate(bp, ip, max_iters=30,
                                                         init=ini))
         dt_raw, res = _timeit(calib_j, cs.board_pts, cs.image_pts, init_dev,
@@ -644,7 +653,7 @@ def stage_configs(ctx, detail):
         def slope(ri):
             tvs1, _, tvs2, _ = _timeit_slope(
                 lambda k: rep_j(k, ri, tv.uv1, tv.uv2), k1, k2, reps=2)
-            return max((tvs2 - tvs1) / (k2 - k1), 1e-9)
+            return _safe_slope(tvs1, k1, tvs2, k2)
 
         dt_full = slope(15)
         dt_init = slope(0)
@@ -732,7 +741,7 @@ def stage_breakdown(ctx, detail):
         jfn = loop_jit(fn)
         d1, _, d2, _ = _timeit_slope(lambda k: jfn(k, jnp.zeros((), dtype)),
                                      A1, A2, reps=2)
-        stages[name] = round((d2 - d1) * 1e3 / (A2 - A1), 4)
+        stages[name] = round(_safe_slope(d1, A1, d2, A2) * 1e3, 4)
         # HBM bytes from XLA's own cost model (VERDICT r3 item 3): per-stage
         # bytes accessed of the compiled amortized loop, differenced between
         # the two amortization counts (removes loop-invariant setup bytes)
@@ -765,7 +774,7 @@ def stage_breakdown(ctx, detail):
     xbw = jnp.ones((nbw,), np.float32)
     B1, B2 = (2, 6) if SMOKE else (16, 64)
     db1, _, db2, _ = _timeit_slope(lambda k: bwf_j(k, xbw), B1, B2, reps=2)
-    gbps = (B2 - B1) * 2 * nbw * 4 / max(db2 - db1, 1e-9) / 1e9
+    gbps = 2 * nbw * 4 / _safe_slope(db1, B1, db2, B2) / 1e9
     it_ms = detail.get("ms_per_iter", 0.0)
     roof.update({
         "bytes_per_iter_MB": round(total_bytes / 1e6, 1),
@@ -867,7 +876,7 @@ def stage_large_scale_general(ctx, detail):
         lambda mi: solve(poses0_d, points0_d, swork, fixed_mask=fixed_d,
                          max_iters=mi), m1, m2, reps=2)
     it1, it2 = int(out1.it), int(out.it)
-    t_iter = (t2 - t1) / max(it2 - it1, 1)
+    t_iter = _safe_slope(t1, it1, t2, it2)
     d = {
         "n_cams": C, "n_points": L,
         "n_obs": int(np.sum(np.asarray(scene.obs.weight) > 0)),
@@ -1038,7 +1047,7 @@ def stage_posegraph(ctx, detail):
     t1, out1, t2, out = _timeit_slope(
         lambda mi: solve(poses0_d, work_d, max_iters=mi), m1, m2, reps=2)
     it1, it2 = int(out1.it), int(out.it)
-    t_iter = (t2 - t1) / max(it2 - it1, 1)
+    t_iter = _safe_slope(t1, it1, t2, it2)
     err0 = float(np.sqrt(np.mean((np.stack(t0) - t_true) ** 2)))
     err = float(np.sqrt(np.mean(
         (np.asarray(out.poses.t, np.float64) - t_true) ** 2)))
@@ -1134,9 +1143,58 @@ def stage_weak_scaling(ctx, detail):
         "note": ("virtual CPU mesh on a shared-core host: collective bytes "
                  "are the DCN-cost signal; iters/s reflects host-core "
                  "contention, not pod scaling"),
+        "virtual_mesh_anomaly": (
+            "the superlinear iters/s drop at D=4/8 is 2-core "
+            "oversubscription: each virtual XLA:CPU device runs its own "
+            "runtime thread and every psum is a BARRIER, so with D > cores "
+            "the devices round-robin through the scheduler at every "
+            "collective (D=8 on 2 cores = 4x oversubscription, 7 barriers "
+            "per iteration); it measures host scheduling, not the "
+            "algorithm"),
         "host_cores": os.cpu_count(),
         "rows": rows,
     }
+    # Predicted pod efficiency (VERDICT r4 item 10): analytic model from
+    # the MEASURED per-iteration compute time and collective volume, with
+    # public-order interconnect figures as explicit inputs. Per iteration:
+    #   t_coll = n_coll * hop_latency + coll_MB / link_bw
+    #   eff(D) = t_compute / (t_compute + t_coll)
+    # Collective volume is MEASURED constant in D (landmark-local
+    # sharding: only pose-sized psums cross devices), so eff is
+    # D-independent in this model until latency terms stack with topology
+    # depth (log D factor included pessimistically).
+    try:
+        t_comp_ms = detail.get("ms_per_iter") or 2.0
+        row = rows[-1] if rows else {}
+        n_coll = row.get("collective_ops_per_program", 7)
+        mb = row.get("collective_MB_per_iter", 0.012)
+        scenarios = {
+            # single-host pod slice over ICI: ~1 us/hop, ~100 GB/s links
+            "ici_pod": {"hop_latency_us": 1.0, "link_GBps": 100.0},
+            # multi-host over DCN: ~25 us/collective, ~25 GB/s per host
+            "dcn_multihost": {"hop_latency_us": 25.0, "link_GBps": 25.0},
+        }
+        pred = {}
+        for name, p in scenarios.items():
+            for D in (2, 4, 8, 64):
+                import math
+                t_coll_ms = (n_coll * p["hop_latency_us"]
+                             * max(1, int(math.log2(D))) / 1e3
+                             + mb / p["link_GBps"])
+                pred[f"{name}_D{D}"] = round(
+                    t_comp_ms / (t_comp_ms + t_coll_ms), 3)
+        detail["weak_scaling"]["predicted_pod_efficiency"] = {
+            "model": "eff = t_compute / (t_compute + n_coll * hop_latency "
+                     "* log2(D) + coll_MB / link_bw); t_compute and "
+                     "coll_MB measured this run, interconnect figures are "
+                     "public-order v5e estimates recorded as inputs",
+            "inputs": {"t_compute_ms": t_comp_ms, "n_collectives": n_coll,
+                       "collective_MB_per_iter": mb,
+                       "scenarios": scenarios},
+            "efficiency": pred,
+        }
+    except Exception as e:
+        detail["weak_scaling"]["prediction_error"] = type(e).__name__
 
 
 def stage_large_pcg(ctx, detail):
