@@ -870,11 +870,15 @@ def stage_large_scale_general(ctx, detail):
         (poses0, points0, fixed, swork), ctx["dev"])
 
     solve = jax.jit(schur_flat_sm.solve_ba_flat_sm,
-                    static_argnames=("max_iters",))
+                    static_argnames=("max_iters", "s_precision"))
+    # S = -B^T B in 3-pass bf16 (HIGH): the dominant matmul at C=1024
+    # (1.6 TFLOP); ~f32-equivalent for these well-scaled blocks —
+    # convergence asserted below against the HIGHEST small-C parity tests
+    sprec = jax.lax.Precision.HIGH
     m1, m2 = (2, 4) if SMOKE else (3, 9)
     t1, out1, t2, out = _timeit_slope(
         lambda mi: solve(poses0_d, points0_d, swork, fixed_mask=fixed_d,
-                         max_iters=mi), m1, m2, reps=2)
+                         max_iters=mi, s_precision=sprec), m1, m2, reps=2)
     it1, it2 = int(out1.it), int(out.it)
     t_iter = _safe_slope(t1, it1, t2, it2)
     d = {
@@ -885,7 +889,8 @@ def stage_large_scale_general(ctx, detail):
                 np.asarray(scene.obs.weight) > 0], minlength=L))), 1),
         "sm_ms_per_iter": round(t_iter * 1e3, 2),
         "sm_final_cost": float(out.cost), "sm_lm_iters": it2,
-        "structure": "dense reduced camera system (landmark span ~C/3)",
+        "structure": "dense reduced camera system (landmark span ~C/3); "
+                     "S matmul bf16_3x (HIGH), rest HIGHEST",
     }
     detail["large_scale_general"] = d
     if not SMOKE and _left() > 240:

@@ -37,7 +37,7 @@ jax.block_until_ready(swork.w)
 print(f"transfer {time.time()-t0:.1f}s", flush=True)
 
 solve = jax.jit(schur_flat_sm.solve_ba_flat_sm,
-                static_argnames=("max_iters",))
+                static_argnames=("max_iters", "s_precision"))
 
 
 def timeit(f, reps=2):
@@ -54,10 +54,12 @@ def timeit(f, reps=2):
     return best, out
 
 
+import jax.lax
 for mi in (3, 9):
     t0 = time.time()
     dt, out = timeit(lambda mi=mi: solve(poses0, points0, swork,
-                                         fixed_mask=fixed, max_iters=mi))
+                                         fixed_mask=fixed, max_iters=mi,
+                                         s_precision=jax.lax.Precision.HIGH))
     print(f"mi={mi}: {dt*1e3:.1f} ms, {int(out.it)} iters, "
           f"cost {float(out.cost):.4e} (incl compile {time.time()-t0:.0f}s)",
           flush=True)

@@ -53,17 +53,19 @@ def timeit(f, *args, reps=2):
 A1, A2 = 1, 4
 
 
-def slope_bench(name, make_out):
+def slope_bench(name, make_out, *bigs):
+    # big arrays must be ARGS, not closure constants: constants are inlined
+    # into the HLO and overflow the remote-compile request (HTTP 413)
     try:
         times = {}
         for A in (A1, A2):
-            def run(x, A=A):
+            def run(x, *bs, A=A):
                 def body(i, acc):
                     return acc + jnp.sum(
-                        make_out(x + i)[:1].astype(jnp.float32))
+                        make_out(x + i, *bs)[:1].astype(jnp.float32))
                 return jax.lax.fori_loop(0, A, body,
                                          jnp.asarray(0.0, jnp.float32))
-            dt, _ = timeit(jax.jit(run), jnp.zeros((), dtype))
+            dt, _ = timeit(jax.jit(run), jnp.zeros((), dtype), *bigs)
             times[A] = dt
         t_iter = (times[A2] - times[A1]) / (A2 - A1)
         print(f"{name:40s}: {t_iter*1e3:8.2f} ms true", flush=True)
@@ -84,19 +86,29 @@ def st_quant(i):
 
 slope_bench("quantities (lin+reduce+W)", st_quant)
 
+
+def st_lin_only(i):
+    from slam_tricks_tpu.solvers.schur_flat_sm import _linearize_sm
+    (r0, r1), (jp0, jp1), (jl0, jl1), cc = _linearize_sm(
+        poses0.R.reshape(C, 9), poses0.t, points0 + 0.0 * i, work)
+    return (r0 + jp0[0] + jl1[2] + cc)[0]
+
+
+slope_bench("linearize only (incl fetch)", st_lin_only)
+
 Hpp_flat, gp, Hll_flat, gl, W, cost = jax.jit(
     lambda p, x: _quantities_sm(p, x, work))(poses0, points0)
 jax.block_until_ready(W)
 lam0 = jnp.asarray(1e-4, dtype)
 
 
-def st_solve(i):
+def st_solve(i, Wb):
     dp, dl, _, _ = _solve_sm(Hpp_flat, gp + 0.0 * i, list(Hll_flat),
-                             list(gl), W, lam0, fixed, work)
+                             list(gl), Wb, lam0, fixed, work)
     return dp[0]
 
 
-slope_bench("solve (whiten+B+S+chol+backsub)", st_solve)
+slope_bench("solve (whiten+B+S+chol+backsub)", st_solve, W)
 
 # pieces of solve
 m = work.mask
@@ -115,7 +127,7 @@ def whiten_X(Wp):
     return jnp.stack(x0 + x1 + x2, axis=0)
 
 
-slope_bench("whiten", lambda i: whiten_X(W + i)[0, 0])
+slope_bench("whiten", lambda i, Wb: whiten_X(Wb + i)[0, 0], W)
 X = jax.block_until_ready(jax.jit(whiten_X)(W))
 
 
@@ -129,13 +141,13 @@ def build_B(Xp):
     return Bl.reshape(L, 3, 6, C).transpose(0, 1, 3, 2).reshape(L * 3, C * 6)
 
 
-slope_bench("build B (onehot on the fly)", lambda i: build_B(X + i)[:1, 0])
+slope_bench("build B (onehot on the fly)", lambda i, Xb: build_B(Xb + i)[:1, 0], X)
 B = jax.block_until_ready(jax.jit(build_B)(X))
 
 for prec, nm in ((HIGHEST, "HIGHEST"), (jax.lax.Precision.HIGH, "HIGH"),
                  (jax.lax.Precision.DEFAULT, "DEFAULT")):
-    slope_bench(f"S=-B^T B {nm}", lambda i, p=prec: -jax.lax.dot_general(
-        B + i, B + i, (((0,), (0,)), ((), ())), precision=p)[:1, 0])
+    slope_bench(f"S=-B^T B {nm}", lambda i, Bb, p=prec: -jax.lax.dot_general(
+        Bb + i, Bb + i, (((0,), (0,)), ((), ())), precision=p)[:1, 0], B)
 
 rng = np.random.default_rng(0)
 A0 = (rng.normal(size=(6144, 256)).astype(np.float32))
@@ -143,15 +155,14 @@ S0 = jax.device_put(jnp.asarray(
     A0 @ A0.T + 6144 * np.eye(6144, dtype=np.float32)), dev)
 b0 = jax.device_put(jnp.asarray(
     rng.normal(size=(6144,)).astype(np.float32)), dev)
-slope_bench("cho_factor+solve 6144", lambda i: jax.scipy.linalg.cho_solve(
+slope_bench("cho_factor+solve 6144", lambda i, Sb: jax.scipy.linalg.cho_solve(
     jax.scipy.linalg.cho_factor(
-        S0 + i * jnp.eye(6144, dtype=dtype), lower=True), b0)[:1])
+        Sb + i * jnp.eye(6144, dtype=dtype), lower=True), b0)[:1], S0)
 
 # camera reductions / fetch at this scale
-cols28 = [W[j % 18] for j in range(28)]
 slope_bench("cam reduce 28 cols (gather table)",
-            lambda i: schur_flat_sm._cam_reduce(
-                [c + i for c in cols28], work, dtype)[:1, 0])
+            lambda i, Wb: schur_flat_sm._cam_reduce(
+                [Wb[j % 18] + i for j in range(28)], work, dtype)[:1, 0], W)
 camcols = jnp.concatenate([poses0.R.reshape(C, 9), poses0.t], axis=1)
 slope_bench("fetch cam vals (take)",
             lambda i: schur_flat_sm._fetch_cam_vals(

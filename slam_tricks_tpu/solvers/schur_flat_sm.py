@@ -153,20 +153,36 @@ def _fetch_cam_vals(vals_c, work: SlotWork, K, L):
     return [out[i] for i in range(m)]
 
 
+def _ohr_device(work: SlotWork):
+    """(K, L, C) bf16 one-hot of the slot cameras, built ON DEVICE from the
+    static index structure. Used by both the large-C camera reduction and
+    the B build with the IDENTICAL expression, so XLA CSEs them into one
+    buffer and hoists it out of the LM while-loop (built once per solve)."""
+    C = work.n_cams
+    return (jax.nn.one_hot(work.cam_of_slot, C, dtype=jnp.bfloat16)
+            * work.mask[..., None].astype(jnp.bfloat16))
+
+
 def _cam_reduce(cols, work: SlotWork, dtype):
     """cols: list of (K, L) arrays -> (n_cols, C) per-camera sums. Small C:
-    ONE (n,N') x (N',C) matmul with the bf16 one-hot; large C: camera-table
-    gather + masked sum (O(N) memory, lane-friendly (n, C, Kc))."""
+    ONE (n,N') x (N',C) matmul with the standing bf16 one-hot. Large C: ONE
+    dot_general against the device-built (K,L,C) one-hot, contracting both
+    slot axes (a (C,Kc) gather table costs ~38 ns per random 112-byte row
+    from the big stack — measured 125 ms at N=3.3M vs ~14 ms of sequential
+    one-hot reads)."""
     n = len(cols)
     KL = cols[0].size
-    stack = jnp.stack([c.reshape(KL) for c in cols], axis=0)      # (n, N')
     if work.oh is not None:
+        stack = jnp.stack([c.reshape(KL) for c in cols], axis=0)  # (n, N')
         return jax.lax.dot_general(stack, work.oh,
                                    (((1,), (0,)), ((), ())),
                                    precision=_MIXED,
                                    preferred_element_type=dtype)   # (n, C)
-    g = jnp.take(stack, work.cam_table, axis=1)               # (n, C, Kc)
-    return jnp.sum(g * work.cam_mask[None], axis=-1)          # (n, C)
+    stack = jnp.stack(cols, axis=0)                           # (n, K, L)
+    return jax.lax.dot_general(stack, _ohr_device(work),
+                               (((1, 2), (0, 1)), ((), ())),
+                               precision=_MIXED,
+                               preferred_element_type=dtype)       # (n, C)
 
 
 def _linearize_sm(R_flat, t, points, work: SlotWork, loss=None):
@@ -277,7 +293,7 @@ def _chol3_flat(h):
 
 
 def _solve_sm(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask,
-              work: SlotWork, chol_backend="xla"):
+              work: SlotWork, chol_backend="xla", s_precision=HIGHEST):
     """Damped Schur solve from slot-major blocks. Returns (dp (C,6),
     dl (L,3), diag_pp (C,6), diag_ll (L,3))."""
     dtype = gp.dtype
@@ -317,20 +333,22 @@ def _solve_sm(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask,
     # a batch dim on both sides.
     if work.oh is not None:
         ohr = work.oh.reshape(K, L, C).transpose(1, 0, 2)      # (L, K, C)
+        Bl = jax.lax.dot_general(
+            X.transpose(2, 0, 1), ohr,
+            (((2,), (1,)), ((0,), (0,))),
+            precision=_MIXED, preferred_element_type=dtype)   # (L, 18, C)
     else:
-        # large C: build the track-layout bf16 one-hot ON DEVICE — it only
-        # depends on the static index structure, so XLA hoists it out of
-        # the LM while-loop (built once per solve, read once per iteration)
-        ohr = (jax.nn.one_hot(work.cam_of_slot.T, C, dtype=jnp.bfloat16)
-               * work.mask.T[..., None].astype(jnp.bfloat16))  # (L, K, C)
-    Bl = jax.lax.dot_general(
-        X.transpose(2, 0, 1), ohr,
-        (((2,), (1,)), ((0,), (0,))),
-        precision=_MIXED, preferred_element_type=dtype)   # (L, 18, C)
+        # large C: the SAME device-built (K,L,C) one-hot as _cam_reduce
+        # (CSE -> one buffer, hoisted out of the LM while-loop); batch over
+        # l, contract over k
+        Bl = jax.lax.dot_general(
+            X, _ohr_device(work),
+            (((1,), (0,)), ((2,), (1,))),
+            precision=_MIXED, preferred_element_type=dtype)   # (L, 18, C)
     B = (Bl.reshape(L, 3, 6, C).transpose(0, 1, 3, 2)
          .reshape(L * 3, C * 6))
     S_off = -jax.lax.dot_general(B, B, (((0,), (0,)), ((), ())),
-                                 precision=HIGHEST)        # (6C, 6C)
+                                 precision=s_precision)    # (6C, 6C)
     S = S_off.reshape(C, 6, C, 6)
     eye_c = jnp.eye(C, dtype=dtype)[:, None, :, None]
     S = S + eye_c * Hpp_d[:, :, None, :]
@@ -380,9 +398,17 @@ def _solve_sm(Hpp_flat, gp, Hll_flat, gl, W, lam, fixed_mask,
 
 def solve_ba_flat_sm(poses0, points0, work: SlotWork, *, fixed_mask=None,
                      max_iters=30, lambda_init=1e-4, xtol=1e-12,
-                     chol_backend="xla", loss=None):
+                     chol_backend="xla", loss=None, s_precision=None):
     """LM bundle adjustment, slot-major flat layout. Same semantics and
-    iteration trajectory as schur_flat.solve_ba_flat (parity-tested)."""
+    iteration trajectory as schur_flat.solve_ba_flat (parity-tested).
+
+    s_precision: matmul precision for S = -B^T B only. None -> HIGHEST
+    (6-pass f32, the parity default). jax.lax.Precision.HIGH (3-pass,
+    ~f32-equivalent for well-scaled data) halves the dominant matmul at
+    C >= 1024 — convergence-validated on the large_scale_general bench
+    scene; per-iteration trajectory may differ at f32 noise level."""
+    if s_precision is None:
+        s_precision = HIGHEST
     C, L = work.n_cams, work.n_points
     dtype = points0.dtype
     if fixed_mask is None:
@@ -409,7 +435,7 @@ def solve_ba_flat_sm(poses0, points0, work: SlotWork, *, fixed_mask=None,
         Hpp_flat, gp, Hll_flat, gl, W = blocks
         dp, dl, diag_pp, diag_ll = _solve_sm(
             Hpp_flat, gp, list(Hll_flat), list(gl), W, s.lam, fixed_mask,
-            work, chol_backend=chol_backend)
+            work, chol_backend=chol_backend, s_precision=s_precision)
 
         bad = jnp.any(~jnp.isfinite(dp)) | jnp.any(~jnp.isfinite(dl))
         dp_s = jnp.where(bad, jnp.zeros_like(dp), dp)
