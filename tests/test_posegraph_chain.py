@@ -142,6 +142,7 @@ def test_relative_parity_vs_dense():
                                np.asarray(out_d.poses.t), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_relative_f32_matches_f64_chain_at_n2048():
     """The f32-NATIVE large-N path (VERDICT r4 item 3): at N=2048 — far
     beyond the N~600 where the absolute-state formulation loses all f32
