@@ -25,8 +25,9 @@ def homography_dlt(src, dst, weights=None):
     if weights is not None:
         w2 = jnp.concatenate([weights, weights])
         A = A * w2[:, None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
-    Hn = Vt[-1].reshape(3, 3)
+    from slam_tricks_tpu.initialization.eightpoint import nullvec_normal
+    v, _ = nullvec_normal(A)
+    Hn = v.reshape(3, 3)
     H = jnp.linalg.solve(T2, Hn @ T1)
     return H / jnp.where(jnp.abs(H[2, 2]) > 1e-12, H[2, 2], jnp.linalg.norm(H))
 
