@@ -593,7 +593,7 @@ def stage_configs(ctx, detail):
         def init_rep(k, bp, ip):
             def body(i, acc):
                 intr, skew, _ = calibrate_closed_form(bp, ip + 0.0 * acc)
-                return intr.fx * 0.0
+                return intr.fx + 0.0 * acc
             return jax.lax.fori_loop(0, k, body, jnp.zeros((), bp.dtype))
         init_rep_j = jax.jit(init_rep, static_argnums=0, device=cpu)
         ki1, ki2 = (1, 2) if SMOKE else (1, 5)
