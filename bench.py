@@ -156,7 +156,7 @@ def stage_headline(detail):
     # the test tunnel, not the chip (r4's 4.43 ms/iter was ~40% tunnel).
     solve_sm = jax.jit(schur_flat_sm.solve_ba_flat_sm,
                        static_argnames=("max_iters",))
-    n1, n2 = (2, 6) if SMOKE else (10, 30)
+    n1, n2 = (2, 6) if SMOKE else (10, 50)
     t1, out1, t2, out = _timeit_slope(
         lambda mi: solve_sm(poses0, points0, swork, fixed_mask=fixed,
                             max_iters=mi), n1, n2)
@@ -410,7 +410,7 @@ def stage_undistort(ctx, detail):
         return jax.lax.fori_loop(0, k, body, p0)
 
     rep_j = jax.jit(rep, static_argnums=0)
-    k1, k2 = (1, 2) if SMOKE else (1, 5)
+    k1, k2 = (1, 2) if SMOKE else (2, 16)
     tu1, _, tu2, _ = _timeit_slope(lambda k: rep_j(k, dist_px), k1, k2,
                                    reps=2)
     per_pass = _safe_slope(tu1, k1, tu2, k2)
@@ -596,7 +596,11 @@ def stage_configs(ctx, detail):
                 return intr.fx + 0.0 * acc
             return jax.lax.fori_loop(0, k, body, jnp.zeros((), bp.dtype))
         init_rep_j = jax.jit(init_rep, static_argnums=0, device=cpu)
-        ki1, ki2 = (1, 2) if SMOKE else (1, 5)
+        # the init is ~0.2-0.6 ms/call: k2 must be large enough that the
+        # slope signal (k2-k1)*t_unit clears the ~1-2 ms run-to-run jitter
+        # of the flat dispatch constant, else _safe_slope falls back to the
+        # inclusive 45-50 ms relay time (the r5-artifact 44.4 ms was that)
+        ki1, ki2 = (1, 2) if SMOKE else (2, 40)
         tzi1, _, tzi2, _ = _timeit_slope(
             lambda k: init_rep_j(k, cs.board_pts, cs.image_pts), ki1, ki2,
             reps=2)
@@ -613,7 +617,7 @@ def stage_configs(ctx, detail):
             return jax.lax.fori_loop(0, k, body,
                                      jnp.zeros((), bp.dtype))
         rep_j = jax.jit(rep, static_argnums=0)
-        k1, k2 = (1, 2) if SMOKE else (1, 4)
+        k1, k2 = (1, 2) if SMOKE else (2, 16)
         tz1, _, tz2, _ = _timeit_slope(
             lambda k: rep_j(k, cs.board_pts, cs.image_pts, init_dev),
             k1, k2, reps=2)
@@ -663,7 +667,7 @@ def stage_configs(ctx, detail):
                 return r.final_cost.astype(a.dtype)
             return jax.lax.fori_loop(0, k, body, jnp.zeros((), a.dtype))
         rep_j = jax.jit(rep, static_argnums=(0, 1))
-        k1, k2 = (1, 2) if SMOKE else (1, 4)
+        k1, k2 = (1, 2) if SMOKE else (2, 12)
 
         def slope(ri):
             tvs1, _, tvs2, _ = _timeit_slope(
@@ -771,9 +775,15 @@ def stage_breakdown(ctx, detail):
             if b2 > b1:
                 by = (b2 - b1) / (A2 - A1)
             else:
-                # XLA's cost model reports loop-body bytes trip-count-
-                # agnostically on some versions; fall back to per-trip
-                by = b2 / A2
+                # XLA's cost model does not descend into while-loop bodies
+                # (the slope loops report ~0 bytes); count one direct,
+                # unlooped stage call instead — its input+output traffic IS
+                # the per-iteration HBM movement of that stage
+                ca = jax.jit(fn).lower(jnp.asarray(0, dtype)).compile() \
+                    .cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                by = float(ca.get("bytes accessed", 0.0))
             roof[name.replace("_ms", "_MB")] = round(by / 1e6, 1)
             total_bytes += by
         except Exception as e:
@@ -1533,14 +1543,17 @@ def main():
     # standing numbers are recorded there and in BENCH_r03
     if os.environ.get("SLAM_BENCH_PALLAS"):
         optional.append(("pallas", lambda: stage_pallas(ctx, detail), 150))
+    stage_wall = detail.setdefault("stage_wall_s", {})
     for name, fn, min_budget in optional:
         if not SMOKE and _left() < min_budget:
             detail.setdefault("skipped", []).append(name)
             continue
+        t_st = time.monotonic()
         try:
             fn()
         except Exception as e:
             detail[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        stage_wall[name] = round(time.monotonic() - t_st, 1)
         _emit(result)
     detail["bench_wall_s"] = round(time.monotonic() - T0, 1)
     _emit(result)
