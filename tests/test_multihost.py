@@ -93,6 +93,45 @@ def _worker(process_id):
     rel = abs(cb - cr) / max(cr, 1e-30)
     print(f"WORKER{process_id} BANDED_COST={cb:.6e} REL={rel:.2e}", flush=True)
     assert rel < 1e-6, (cb, cr)
+
+    # distributed large-C PCG path over the same 2-process global mesh
+    # (ROADMAP: multi-host validation of the banded AND PCG paths): the
+    # landmark-partitioned work's leading device axis is assembled from
+    # per-process slices, trajectory-parity vs the single-device flat-PCG
+    # solve at a fixed pre-convergence iteration count
+    from slam_tricks_tpu.parallel.partition import partition_obs_by_landmark as _pbl
+    from slam_tricks_tpu.parallel.pcg_dist import (build_dist_work,
+                                                   make_ba_solver_pcg_dist)
+    from slam_tricks_tpu.solvers import schur_flat
+    from slam_tricks_tpu.solvers.pcg_flat import build_pcg_work
+
+    pobs = _pbl(tscene.obs, 8)
+    pwork = build_dist_work(pobs, 16, 240, 8, dtype=np.float64)
+
+    def glob_dev(a):
+        a = np.asarray(a)
+        return make_global_array(a[process_id * 4:(process_id + 1) * 4],
+                                 mesh, P("obs"))
+
+    obs_g, flat_g, pcg_g, lmg_g = jax.tree_util.tree_map(
+        glob_dev, ((pwork.obs_cam, pwork.obs_lm, pwork.obs_uv, pwork.obs_w),
+                   pwork.flat, pwork.pcg, pwork.lm_global))
+    pwork_g = pwork._replace(obs_cam=obs_g[0], obs_lm=obs_g[1],
+                             obs_uv=obs_g[2], obs_w=obs_g[3],
+                             flat=flat_g, pcg=pcg_g, lm_global=lmg_g)
+    kw = dict(max_iters=5, cg_iters=200, cg_tol=1e-12)
+    outp = make_ba_solver_pcg_dist(mesh, **kw)(tposes0, tpoints0, pwork_g,
+                                               tfixed)
+    sflat = schur_flat.build_flat_work(pobs, 16, 240, dtype=np.float64,
+                                       use_cam_table=True)
+    spcg = build_pcg_work(pobs, 16, dtype=np.float64)
+    sref = schur_flat.solve_ba_flat(tposes0, tpoints0, pobs, sflat,
+                                    fixed_mask=tfixed, linear="pcg",
+                                    pcg_work=spcg, **kw)
+    cp, cs = float(outp.cost), float(sref.cost)
+    relp = abs(cp - cs) / max(cs, 1e-30)
+    print(f"WORKER{process_id} PCG_COST={cp:.6e} REL={relp:.2e}", flush=True)
+    assert relp < 1e-6, (cp, cs)
     jax.distributed.shutdown()
 
 
@@ -111,7 +150,7 @@ def test_two_process_distributed_ba():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
@@ -124,6 +163,9 @@ def test_two_process_distributed_ba():
     bcosts = [float(re.search(r"BANDED_COST=([\d.e+-]+)", o).group(1))
               for o in outs]
     assert bcosts[0] == bcosts[1]
+    pcosts = [float(re.search(r"PCG_COST=([\d.e+-]+)", o).group(1))
+              for o in outs]
+    assert pcosts[0] == pcosts[1]
 
 
 if __name__ == "__main__" and len(sys.argv) >= 3 and sys.argv[1] == "worker":
