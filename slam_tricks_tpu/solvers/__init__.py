@@ -29,3 +29,8 @@ from slam_tricks_tpu.solvers.sliding_window import (  # noqa: F401
     run_sliding_window,
     solve_window,
 )
+from slam_tricks_tpu.solvers.incremental import (  # noqa: F401
+    IncrementalState,
+    smoother_arrive,
+    smoother_init,
+)

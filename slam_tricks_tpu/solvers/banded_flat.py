@@ -189,6 +189,37 @@ def block_tridiag_factor(D, E):
     return TridiagFactor(L=jnp.concatenate([L0[None], Ls]), F=Fs)
 
 
+def block_tridiag_factor_extend(fac: TridiagFactor, D, E, g0):
+    """Incrementally extend/update a stored factor (the iSAM-role online
+    primitive, solvers/incremental.py): super-blocks [g0:] of the SPD
+    block-tridiagonal (D (G,m,m), E (G-1,m,m)) are new or changed while
+    blocks [:g0] and couplings E[:g0-1] are UNCHANGED from the matrix
+    `fac` factored (the caller's contract — exactness-tested in
+    tests/test_incremental.py). The block-Cholesky recursion only feeds
+    forward, so the stored prefix is reused verbatim and the sequential
+    scan — the factorization's LATENCY chain — runs over the O(G - g0)
+    tail instead of all G super-blocks. g0 must be a static python int."""
+    chol = jax.lax.linalg.cholesky
+    tri = partial(jax.lax.linalg.triangular_solve, left_side=True, lower=True)
+    G, m, _ = D.shape
+    g0 = int(g0)
+    if g0 <= 0:
+        return block_tridiag_factor(D, E)
+    if g0 >= G:
+        return TridiagFactor(L=fac.L[:G], F=fac.F[:max(G - 1, 0)])
+
+    def step(Lp, DE):
+        Dg, Eg = DE
+        Ft = tri(Lp, jnp.swapaxes(Eg, -1, -2))
+        F = jnp.swapaxes(Ft, -1, -2)
+        Lg = chol(Dg - jnp.einsum("ik,jk->ij", F, F, precision=HIGHEST))
+        return Lg, (Lg, F)
+
+    _, (Ls, Fs) = jax.lax.scan(step, fac.L[g0 - 1], (D[g0:], E[g0 - 1:]))
+    return TridiagFactor(L=jnp.concatenate([fac.L[:g0], Ls]),
+                         F=jnp.concatenate([fac.F[:g0 - 1], Fs]))
+
+
 def tridiag_forward(fac: TridiagFactor, R):
     """Lt^-1 R by parallel-prefix forward substitution; R (G, m) or
     (G, m, q)."""
