@@ -15,6 +15,10 @@ from slam_tricks_tpu.estimation.preintegration import (  # noqa: F401
     preintegrate,
     whiten,
 )
+from slam_tricks_tpu.estimation.vi_init import (  # noqa: F401
+    ViInit,
+    vi_initialize,
+)
 from slam_tricks_tpu.estimation.vi_smoother import (  # noqa: F401
     ViSimData,
     ViSolution,

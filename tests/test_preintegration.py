@@ -243,3 +243,43 @@ def test_vi_ba_recovers_metric_scale():
                                    max_iters=40)
     s_mono = scale_of(res_mono.x[0].t)
     assert abs(s_mono - s0) < 0.1, s_mono  # stayed at the wrong scale
+
+
+def test_vi_initialize_recovers_scale_gravity_velocity():
+    """Clean IMU + up-to-scale visual poses: the linear bootstrap recovers
+    the metric scale, the world gravity vector, and every keyframe velocity
+    essentially exactly."""
+    from slam_tricks_tpu.estimation.vi_init import vi_initialize
+
+    sim = _sim(n_keyframes=12, samples_per_seg=50, dt=0.005,
+               bg=(0, 0, 0), ba=(0, 0, 0))
+    z3 = jnp.zeros(3, sim.vels_true.dtype)
+    pre = vis.preintegrate_segments(sim, z3, z3)
+    alpha = 1 / 2.3
+    pv = se3.SE3(sim.poses_true.R, sim.poses_true.t * alpha)
+    init = vi_initialize(pre, pv)
+    assert abs(float(init.scale) - 2.3) < 1e-4
+    np.testing.assert_allclose(np.asarray(init.gravity), [0, 0, -9.81],
+                               atol=1e-8)
+    assert float(jnp.max(jnp.abs(init.vels - sim.vels_true))) < 1e-4
+    # metric positions from the visual ones
+    t_metric = float(init.scale) * pv.t
+    np.testing.assert_allclose(t_metric, sim.poses_true.t, atol=1e-3)
+
+
+def test_vi_initialize_biased_imu_close():
+    """With uncorrected true biases and IMU noise the bootstrap is only
+    approximate — but still within a few percent, good enough to seed the
+    smoother (which then estimates the bias)."""
+    from slam_tricks_tpu.estimation.vi_init import vi_initialize
+
+    sim = _sim(n_keyframes=16, samples_per_seg=100, dt=0.005,
+               sigma_g=2e-4, sigma_a=2e-3, seed=4)
+    z3 = jnp.zeros(3, sim.vels_true.dtype)
+    pre = vis.preintegrate_segments(sim, z3, z3)
+    pv = se3.SE3(sim.poses_true.R, sim.poses_true.t / 2.3)
+    init = vi_initialize(pre, pv)
+    assert abs(float(init.scale) - 2.3) / 2.3 < 0.05
+    g = np.asarray(init.gravity)
+    assert abs(np.linalg.norm(g) - 9.81) < 1e-6          # norm constraint
+    assert g[2] < -9.7                                   # direction correct
