@@ -15,6 +15,10 @@ from slam_tricks_tpu.estimation.preintegration import (  # noqa: F401
     preintegrate,
     whiten,
 )
+from slam_tricks_tpu.estimation.vi_chain import (  # noqa: F401
+    ViChainState,
+    solve_vi_chain,
+)
 from slam_tricks_tpu.estimation.vi_init import (  # noqa: F401
     ViInit,
     vi_initialize,

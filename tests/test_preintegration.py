@@ -283,3 +283,49 @@ def test_vi_initialize_biased_imu_close():
     g = np.asarray(init.gravity)
     assert abs(np.linalg.norm(g) - 9.81) < 1e-6          # norm constraint
     assert g[2] < -9.7                                   # direction correct
+
+
+def test_vi_chain_matches_dense_smoother():
+    """The block-tridiagonal + bias-Schur chain solver reaches the same
+    optimum as the dense LM smoother (machine-precision pose parity)."""
+    from slam_tricks_tpu.estimation.vi_chain import solve_vi_chain
+
+    sim = _sim(n_keyframes=20, samples_per_seg=50, dt=0.005, sigma_g=2e-4,
+               sigma_a=2e-3, obs_rot_noise=0.005, obs_trans_noise=0.01,
+               seed=3)
+    bias0 = jnp.zeros(6, dtype=sim.vels_true.dtype)
+    pre = vis.preintegrate_segments(sim, bias0[:3], bias0[3:],
+                                    sigma_g=2e-4, sigma_a=2e-3)
+    sol_d = vis.solve_vi_smoother(pre, sim.obs_poses, sim.obs_poses,
+                                  sim.vels_true, bias0, obs_rot_sigma=0.005,
+                                  obs_trans_sigma=0.01, max_iters=40)
+    sol_c = solve_vi_chain(pre, sim.obs_poses, sim.obs_poses, sim.vels_true,
+                           bias0, obs_rot_sigma=0.005, obs_trans_sigma=0.01,
+                           max_iters=40)
+    np.testing.assert_allclose(float(sol_c.cost), float(sol_d.cost),
+                               rtol=1e-10)
+    assert float(jnp.max(jnp.abs(sol_d.poses.t - sol_c.poses.t))) < 1e-10
+    assert float(jnp.max(jnp.abs(sol_d.bias - sol_c.bias))) < 1e-10
+
+
+@pytest.mark.slow
+def test_vi_chain_large_f32():
+    """K=1000 keyframes in PURE f32: the chain solver needs no f64 (every
+    state is observation-anchored, unlike absolute pose-graph chains)."""
+    from slam_tricks_tpu.estimation.vi_chain import solve_vi_chain
+
+    K = 1000
+    sim = _sim(n_keyframes=K, samples_per_seg=20, dt=0.005, sigma_g=2e-4,
+               sigma_a=2e-3, obs_rot_noise=0.005, obs_trans_noise=0.01,
+               seed=3, dtype=jnp.float32)
+    bias0 = jnp.zeros(6, jnp.float32)
+    pre = vis.preintegrate_segments(sim, bias0[:3], bias0[3:],
+                                    sigma_g=2e-4, sigma_a=2e-3)
+    sol = solve_vi_chain(pre, sim.obs_poses, sim.obs_poses, sim.vels_true,
+                         bias0, obs_rot_sigma=0.005, obs_trans_sigma=0.01,
+                         max_iters=25)
+    ate_obs = _t_rmse(sim.obs_poses.t, sim.poses_true.t)
+    ate_sm = _t_rmse(sol.poses.t, sim.poses_true.t)
+    assert ate_sm < ate_obs * 0.4, (ate_sm, ate_obs)
+    bt = jnp.concatenate([sim.bg_true, sim.ba_true])
+    assert float(jnp.linalg.norm(sol.bias - bt)) < 0.02

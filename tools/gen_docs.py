@@ -46,6 +46,7 @@ def fmt(v, nd=2):
 def render_blocks(art, src_name):
     d = art.get("detail", {})
     cfg = d.get("configs", {})
+    vi = d.get("vi", {})
     ls = d.get("large_scale", {})
     lsg = d.get("large_scale_general", {})
     loop = d.get("loop_scale", {})
@@ -118,6 +119,14 @@ def render_blocks(art, src_name):
         f"{fmt(cfg.get('zhang_cv2_ms'))} ms at fx_err "
         f"{fmt(cfg.get('zhang_fx_err'), 3)} vs "
         f"{fmt(cfg.get('zhang_cv2_fx_err'), 3)}",
+        f"- IMU preintegration: "
+        f"{fmt((vi.get('preint_segments_per_s') or 0) / 1e3, 1)}k "
+        f"segments/s ({vi.get('preint_samples_per_seg')} samples each); "
+        f"VI smoother {fmt(vi.get('smoother_ms_per_lm_iter'))} ms/LM-iter "
+        f"at {vi.get('smoother_n_keyframes')} keyframes (ATE "
+        f"{fmt(vi.get('smoother_ate_obs'), 4)} obs -> "
+        f"{fmt(vi.get('smoother_ate'), 4)} smoothed)" if vi else
+        "- IMU preintegration: (stage not run)",
         f"- two-view: init+triangulation "
         f"{fmt(cfg.get('two_view_init_tri_only_ms'))} ms (cv2 same work: "
         f"{fmt(cfg.get('two_view_cv2_init_tri_ms'))} ms), joint refinement "
