@@ -67,6 +67,9 @@ def solve_vi_chain(pre_batch, obs_poses, poses0, vels0, bias0, *,
     tested); use this one when K is large. Returns
     (ViChainState-final, n_iters-implicit-in-state)."""
     K = obs_poses.t.shape[0]
+    if K < 2:
+        raise ValueError(f"solve_vi_chain needs >= 2 keyframes, got K={K} "
+                         "(no IMU segment to constrain)")
     dtype = obs_poses.t.dtype
     w_rot = jnp.asarray(1.0 / obs_rot_sigma, dtype)
     w_tr = jnp.asarray(1.0 / obs_trans_sigma, dtype)

@@ -72,6 +72,10 @@ def vi_initialize(pre_batch, poses_visual, gravity_norm=9.81,
     poses_visual: batched SE3 with METRIC rotations and translations off by
     one global scale factor. Returns ViInit; apply with
     `t_metric = init.scale * poses_visual.t`."""
+    K = poses_visual.t.shape[0]
+    if K < 3:
+        raise ValueError(f"vi_initialize needs >= 3 keyframes, got K={K} "
+                         "(scale+gravity+velocities underdetermined)")
     A, b = _build_system(pre_batch, poses_visual)
     x, *_ = jnp.linalg.lstsq(A, b)
     s, g, v = x[0], x[1:4], x[4:].reshape(-1, 3)

@@ -135,6 +135,8 @@ def solve_vi_smoother(pre_batch, obs_poses, poses0, vels0, bias0,
     the offset to the current estimate). obs_poses: (K,) noisy SE3
     observations. Returns ViSolution."""
     K = obs_poses.t.shape[0]
+    if K < 2:
+        raise ValueError(f"solve_vi_smoother needs >= 2 keyframes, got K={K}")
     dtype = obs_poses.t.dtype
     mani = man.product(man.batched(man.so3_r3(), K),
                        man.euclidean((K, 3)),
