@@ -1612,10 +1612,10 @@ def main():
          lambda: stage_large_scale_general(ctx, detail), 200),
         ("loop_scale", lambda: stage_loop_scale(ctx, detail), 150),
         ("configs", lambda: stage_configs(ctx, detail), 90),
-        ("vi", lambda: stage_vi(ctx, detail), 70),
         ("posegraph", lambda: stage_posegraph(ctx, detail), 100),
         ("tridiag_ab", lambda: stage_tridiag_ab(ctx, detail), 30),
         ("weak_scaling", lambda: stage_weak_scaling(ctx, detail), 160),
+        ("vi", lambda: stage_vi(ctx, detail), 200),
         ("large_dense_comparator",
          lambda: stage_large_dense_comparator(ctx, detail), 140),
         ("loop_dense_comparator",

@@ -76,9 +76,12 @@ def render_blocks(art, src_name):
         f"slope timing): {fmt(d.get('dispatch_const_ms'), 1)} ms",
         f"- per-stage true ms: linearize+assemble "
         f"{fmt(stages.get('linearize_assemble_ms'), 3)}, Schur solve "
-        f"{fmt(stages.get('schur_solve_ms'), 3)}, cost eval "
-        f"{fmt(stages.get('cost_eval_ms'), 3)}; measured copy bandwidth "
-        f"{fmt(roof.get('measured_copy_GBps'), 1)} GB/s",
+        f"{fmt(stages.get('schur_solve_ms'), 3)} (the linearize trial pass "
+        f"doubles as the cost evaluation)",
+        f"- roofline: {fmt((roof.get('bandwidth_fraction') or 0) * 100, 1)}% "
+        f"of measured copy bandwidth "
+        f"({fmt(roof.get('measured_copy_GBps'), 1)} GB/s; bytes from "
+        f"{roof.get('bytes_method', 'XLA cost model')})",
     ]
     large = [
         note,
@@ -132,7 +135,7 @@ def render_blocks(art, src_name):
         f"{fmt(cfg.get('two_view_cv2_init_tri_ms'))} ms), joint refinement "
         f"+{fmt(cfg.get('two_view_refine_only_ms'))} ms to cost "
         f"{fmt(cfg.get('two_view_final_cost'))} (init-only cost "
-        f"{fmt(cfg.get('two_view_init_only_cost'))})",
+        f"{fmt(cfg.get('two_view_init_only_cost'), 4)})",
     ]
     return {"headline": "\n".join(headline), "large": "\n".join(large),
             "configs": "\n".join(configs)}
