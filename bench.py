@@ -738,8 +738,13 @@ def stage_breakdown(ctx, detail):
     def stage_lin(i):
         # consume EVERY output: returning one element lets XLA dead-code
         # the rest of the pass (r5: an early version read 0.08 ms because
-        # the landmark side and W were DCE'd away)
-        o = schur_flat_sm._quantities_sm(poses0, points0 + 0.0 * i, swork)
+        # the landmark side and W were DCE'd away). Perturb EVERY input by
+        # the loop index: anything loop-invariant gets HOISTED out of the
+        # amortization loop and the stage reads far too fast (measured:
+        # leaving poses constant here let XLA hoist the camera-side work).
+        zi = 0.0 * i
+        poses_i = jax.tree_util.tree_map(lambda a: a + zi, poses0)
+        o = schur_flat_sm._quantities_sm(poses_i, points0 + zi, swork)
         return (o[0][0, 0] + o[1][0, 0] + sum(h[0] for h in o[2])
                 + sum(g[0] for g in o[3]) + o[4][0, 0, 0] + o[5])
 
@@ -748,8 +753,13 @@ def stage_breakdown(ctx, detail):
     lam = jnp.asarray(1e-4, dtype)
 
     def stage_solve(i):
+        # perturb every operand (see stage_lin): a constant Hf/lam lets XLA
+        # hoist the reduced-system factorization out of the loop and the
+        # "solve" degenerates to back-substitution only
+        zi = 0.0 * i
         dp, dl, _, _ = schur_flat_sm._solve_sm(
-            Hf, gpf + 0.0 * i, list(Hlf), list(glf), Wf, lam, fixed, swork)
+            Hf + zi, gpf + zi, [h + zi for h in Hlf], [g + zi for g in glf],
+            Wf + zi, lam + zi, fixed, swork)
         return dp[0, 0] + dl[0, 0]
 
 
@@ -757,10 +767,27 @@ def stage_breakdown(ctx, detail):
     stages = detail.setdefault("stages", {})
     roof = detail.setdefault("roofline", {})
     total_bytes = 0.0
+    # PLAIN single-call variants for the bytes cost model: the timing
+    # variants perturb every operand to defeat loop hoisting, but those
+    # perturbations materialize full copies of the operand tables in the
+    # unfused single-call lowering and inflate "bytes accessed" ~3x past
+    # the physical bandwidth (measured: fraction 2.76 > 1). Bytes use the
+    # unperturbed call; time uses the hoist-proof loop.
+    def stage_lin_plain(i):
+        o = schur_flat_sm._quantities_sm(poses0, points0 + 0.0 * i, swork)
+        return (o[0][0, 0] + o[1][0, 0] + sum(h[0] for h in o[2])
+                + sum(g[0] for g in o[3]) + o[4][0, 0, 0] + o[5])
+
+    def stage_solve_plain(i):
+        dp, dl, _, _ = schur_flat_sm._solve_sm(
+            Hf, gpf + 0.0 * i, list(Hlf), list(glf), Wf, lam, fixed, swork)
+        return dp[0, 0] + dl[0, 0]
+
     # the production iteration is linearize+assemble (the trial pass
     # doubles as the cost evaluation — no separate cost kernel) + solve
-    for name, fn in (("linearize_assemble_ms", stage_lin),
-                     ("schur_solve_ms", stage_solve)):
+    for name, fn, fn_plain in (
+            ("linearize_assemble_ms", stage_lin, stage_lin_plain),
+            ("schur_solve_ms", stage_solve, stage_solve_plain)):
         jfn = loop_jit(fn)
         d1, _, d2, _ = _timeit_slope(lambda k: jfn(k, jnp.zeros((), dtype)),
                                      A1, A2, reps=2)
@@ -786,8 +813,8 @@ def stage_breakdown(ctx, detail):
                 # single call re-reads every stage input and materializes
                 # intermediates the fused loop keeps on-chip, so the
                 # derived bandwidth_fraction is an upper bound too.
-                ca = jax.jit(fn).lower(jnp.asarray(0, dtype)).compile() \
-                    .cost_analysis()
+                ca = jax.jit(fn_plain).lower(jnp.asarray(0, dtype)) \
+                    .compile().cost_analysis()
                 if isinstance(ca, (list, tuple)):
                     ca = ca[0]
                 by = float(ca.get("bytes accessed", 0.0))
