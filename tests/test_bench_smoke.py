@@ -22,5 +22,6 @@ def test_bench_smoke():
     assert data["value"] > 0
     d = data["detail"]
     for key in ("stages", "flops_per_iter", "baseline_iters_per_s",
-                "large_scale", "mfu_vs_f32_highest_peak"):
+                "large_scale", "mfu_vs_f32_highest_peak", "vi"):
         assert key in d, key
+    assert d["vi"]["preint_segments_per_s"] > 0
