@@ -82,6 +82,13 @@ def main():
     print(f"VI-BA: scale initialized at {s0:.2f}x -> recovered "
           f"{float((d_est / d_true).mean()):.3f}x metric")
 
+    # --- closed-form bootstrap (no optimization at all) ---
+    from slam_tricks_tpu.estimation.vi_init import vi_initialize
+    init = vi_initialize(pre, poses_scaled)
+    g = np.array(init.gravity)
+    print(f"vi_initialize (one lstsq): scale {float(init.scale) * s0:.3f}x, "
+          f"gravity [{g[0]:.2f} {g[1]:.2f} {g[2]:.2f}]")
+
 
 if __name__ == "__main__":
     main()
