@@ -789,6 +789,10 @@ def stage_breakdown(ctx, detail):
             ("linearize_assemble_ms", stage_lin, stage_lin_plain),
             ("schur_solve_ms", stage_solve, stage_solve_plain)):
         jfn = loop_jit(fn)
+        jfn_plain = loop_jit(fn_plain)   # bytes: unperturbed bodies only —
+        # the timing variant's per-operand perturbations materialize operand
+        # copies whose bytes scale WITH k, so loop-differencing would not
+        # remove them either
         d1, _, d2, _ = _timeit_slope(lambda k: jfn(k, jnp.zeros((), dtype)),
                                      A1, A2, reps=2)
         stages[name] = round(_safe_slope(d1, A1, d2, A2) * 1e3, 4)
@@ -797,7 +801,7 @@ def stage_breakdown(ctx, detail):
         # the two amortization counts (removes loop-invariant setup bytes)
         try:
             def _bytes(k):
-                ca = jfn.lower(k, jnp.zeros((), dtype)).compile() \
+                ca = jfn_plain.lower(k, jnp.zeros((), dtype)).compile() \
                     .cost_analysis()
                 if isinstance(ca, (list, tuple)):
                     ca = ca[0]
@@ -1127,13 +1131,12 @@ def stage_vi(ctx, detail):
     out["smoother_ms_per_lm_iter"] = round(per_it * 1e3, 3)
     out["smoother_lm_iters"] = it2
 
-    def t_rmse(a, b):
-        d = np.array(a) - np.array(b)
-        return float(np.sqrt((d * d).sum(axis=1).mean()))
+    from slam_tricks_tpu.evaluation.metrics import ate_translation_rmse
 
     out["smoother_ate_obs"] = round(
-        t_rmse(simk.obs_poses.t, simk.poses_true.t), 5)
-    out["smoother_ate"] = round(t_rmse(sol.poses.t, simk.poses_true.t), 5)
+        float(ate_translation_rmse(simk.obs_poses, simk.poses_true)), 5)
+    out["smoother_ate"] = round(
+        float(ate_translation_rmse(sol.poses, simk.poses_true)), 5)
 
 
 def stage_posegraph(ctx, detail):

@@ -22,9 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def t_rmse(a, b):
-    d = np.array(a) - np.array(b)
-    return float(np.sqrt((d * d).sum(axis=1).mean()))
+def t_rmse(poses_a, poses_b):
+    from slam_tricks_tpu.evaluation.metrics import ate_translation_rmse
+    return float(ate_translation_rmse(poses_a, poses_b))
 
 
 def main():
@@ -52,15 +52,15 @@ def main():
     poses_dr, vels_dr = vis.dead_reckon(pre, T0, sim.vels_true[0],
                                         bias0[:3], bias0[3:])
     print(f"dead-reckoning ATE (wrong bias): "
-          f"{t_rmse(poses_dr.t, sim.poses_true.t):.4f} m")
+          f"{t_rmse(poses_dr, sim.poses_true):.4f} m")
     print(f"raw pose-observation ATE:        "
-          f"{t_rmse(sim.obs_poses.t, sim.poses_true.t):.4f} m")
+          f"{t_rmse(sim.obs_poses, sim.poses_true):.4f} m")
 
     sol = vis.solve_vi_smoother(pre, sim.obs_poses, poses_dr, vels_dr, bias0,
                                 obs_rot_sigma=0.005, obs_trans_sigma=0.01)
     bias_true = np.concatenate([np.array(sim.bg_true), np.array(sim.ba_true)])
     print(f"VI smoother ATE:                 "
-          f"{t_rmse(sol.poses.t, sim.poses_true.t):.4f} m  "
+          f"{t_rmse(sol.poses, sim.poses_true):.4f} m  "
           f"({int(sol.iterations)} LM iters)")
     print(f"bias error: {np.linalg.norm(bias_true):.4f} -> "
           f"{np.linalg.norm(np.array(sol.bias) - bias_true):.4f}")

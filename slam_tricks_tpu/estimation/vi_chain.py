@@ -46,6 +46,7 @@ class ViChainState(NamedTuple):
     nu: jnp.ndarray
     it: jnp.ndarray
     done: jnp.ndarray
+    lin: tuple            # (D, E, U, Hbb, g, gb) at the CURRENT state
 
 
 def _retract_states(poses, vels, dx):
@@ -143,17 +144,23 @@ def solve_vi_chain(pre_batch, obs_poses, poses0, vels0, bias0, *,
         return 0.5 * (jnp.sum(r_i * r_i) + jnp.sum(r_o * r_o)
                       + jnp.sum(r_b * r_b))
 
+    vels0 = vels0.astype(dtype)
+    bias0 = bias0.astype(dtype)
     state = ViChainState(
-        poses=poses0, vels=vels0.astype(dtype), bias=bias0.astype(dtype),
-        cost=total_cost(poses0, vels0.astype(dtype), bias0.astype(dtype)),
+        poses=poses0, vels=vels0, bias=bias0,
+        cost=total_cost(poses0, vels0, bias0),
         lam=jnp.asarray(lambda_init, dtype), nu=jnp.asarray(2.0, dtype),
-        it=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool))
+        it=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
+        lin=linearize(poses0, vels0, bias0))
 
     def cond(s):
         return (~s.done) & (s.it < max_iters)
 
     def body(s):
-        D, E, U, Hbb, g, gb = linearize(s.poses, s.vels, s.bias)
+        # linearization lives in the carry: a REJECTED step reuses it (the
+        # state did not move) and only accepted steps pay the vmapped
+        # jacfwd pass again — the solvers/lm.py convention
+        D, E, U, Hbb, g, gb = s.lin
         # Marquardt scaling on the diagonal
         dscale = jnp.maximum(jnp.diagonal(D, axis1=-2, axis2=-1), 1e-12)
         Dd = D + s.lam * jax.vmap(jnp.diag)(dscale)
@@ -190,7 +197,10 @@ def solve_vi_chain(pre_batch, obs_poses, poses0, vels0, bias0, *,
         nu_u = jnp.where(accept, jnp.asarray(2.0, dtype), s.nu * 2.0)
         step = jnp.sqrt(jnp.sum(dx * dx) + jnp.sum(db * db))
         done = accept & (step < xtol)
+        lin_u = jax.lax.cond(
+            accept, lambda: linearize(poses_u, vels_u, bias_u),
+            lambda: s.lin)
         return ViChainState(poses_u, vels_u, bias_u, cost_u, lam_u, nu_u,
-                            s.it + 1, done)
+                            s.it + 1, done, lin_u)
 
     return jax.lax.while_loop(cond, body, state)

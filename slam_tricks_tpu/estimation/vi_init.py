@@ -73,9 +73,12 @@ def vi_initialize(pre_batch, poses_visual, gravity_norm=9.81,
     one global scale factor. Returns ViInit; apply with
     `t_metric = init.scale * poses_visual.t`."""
     K = poses_visual.t.shape[0]
-    if K < 3:
-        raise ValueError(f"vi_initialize needs >= 3 keyframes, got K={K} "
-                         "(scale+gravity+velocities underdetermined)")
+    if K < 4:
+        # 6(K-1) equations vs 3K+4 unknowns: determined only for K >= 4
+        # (at K=3 lstsq silently returns a wrong minimum-norm solution)
+        raise ValueError(f"vi_initialize needs >= 4 keyframes, got K={K} "
+                         "(scale+gravity+velocities underdetermined: "
+                         f"{6*(K-1)} equations, {3*K+4} unknowns)")
     A, b = _build_system(pre_batch, poses_visual)
     x, *_ = jnp.linalg.lstsq(A, b)
     s, g, v = x[0], x[1:4], x[4:].reshape(-1, 3)

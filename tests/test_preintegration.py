@@ -17,8 +17,14 @@ from slam_tricks_tpu.manifolds import se3, so3
 
 
 def _t_rmse(ta, tb):
-    d = jnp.asarray(ta) - jnp.asarray(tb)
-    return float(jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=1))))
+    """Translation-array wrapper around the library ATE metric."""
+    from slam_tricks_tpu.evaluation.metrics import ate_translation_rmse
+
+    class _P:                       # metric takes pose-like (.t) stacks
+        def __init__(self, t):
+            self.t = jnp.asarray(t)
+
+    return float(ate_translation_rmse(_P(ta), _P(tb)))
 
 
 def _sim(**kw):

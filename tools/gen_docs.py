@@ -124,9 +124,9 @@ def render_blocks(art, src_name):
         f"{fmt(cfg.get('zhang_cv2_fx_err'), 3)}",
         f"- IMU preintegration: "
         f"{fmt((vi.get('preint_segments_per_s') or 0) / 1e3, 1)}k "
-        f"segments/s ({vi.get('preint_samples_per_seg')} samples each); "
+        f"segments/s ({fmt(vi.get('preint_samples_per_seg'))} samples each); "
         f"chain VI smoother {fmt(vi.get('smoother_ms_per_lm_iter'))} "
-        f"ms/LM-iter at {vi.get('smoother_n_keyframes')} keyframes, f32 "
+        f"ms/LM-iter at {fmt(vi.get('smoother_n_keyframes'))} keyframes, f32 "
         f"(ATE "
         f"{fmt(vi.get('smoother_ate_obs'), 4)} obs -> "
         f"{fmt(vi.get('smoother_ate'), 4)} smoothed)" if vi else
