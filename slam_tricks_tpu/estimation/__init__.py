@@ -18,6 +18,7 @@ from slam_tricks_tpu.estimation.preintegration import (  # noqa: F401
 from slam_tricks_tpu.estimation.vi_chain import (  # noqa: F401
     ViChainState,
     solve_vi_chain,
+    vi_chain_covariances,
 )
 from slam_tricks_tpu.estimation.vi_init import (  # noqa: F401
     ViInit,

@@ -57,25 +57,10 @@ def _retract_states(poses, vels, dx):
     return se3.SE3(R, t), v
 
 
-def solve_vi_chain(pre_batch, obs_poses, poses0, vels0, bias0, *,
-                   obs_rot_sigma=0.01, obs_trans_sigma=0.02,
-                   bias_prior_sigma=1.0, gravity=pim.GRAVITY,
-                   max_iters=30, lambda_init=1e-4, xtol=1e-12):
-    """MAP smoothing over (poses, velocities, shared bias) with chain
-    factors, O(K) memory and O(K log K) solve depth.
-
-    Same problem and optimum as `vi_smoother.solve_vi_smoother` (parity
-    tested); use this one when K is large. Returns
-    (ViChainState-final, n_iters-implicit-in-state)."""
-    K = obs_poses.t.shape[0]
-    if K < 2:
-        raise ValueError(f"solve_vi_chain needs >= 2 keyframes, got K={K} "
-                         "(no IMU segment to constrain)")
-    dtype = obs_poses.t.dtype
-    w_rot = jnp.asarray(1.0 / obs_rot_sigma, dtype)
-    w_tr = jnp.asarray(1.0 / obs_trans_sigma, dtype)
-    w_b = jnp.asarray(1.0 / bias_prior_sigma, dtype)
-    bias_anchor = jnp.concatenate([pre_batch.bg0[0], pre_batch.ba0[0]])
+def _make_system(pre_batch, obs_poses, w_rot, w_tr, w_b,
+                 bias_anchor, gravity, K, dtype):
+    """Shared linearizer/cost builder for the chain VI system (used by the
+    solver and by `vi_chain_covariances`)."""
 
     def imu_r(pre_k, Ti, vi, Tj, vj, bias, dxi, dxj, db):
         """Whitened IMU residual at perturbed states — jacfwd target."""
@@ -115,7 +100,7 @@ def solve_vi_chain(pre_batch, obs_poses, poses0, vels0, bias0, *,
         r_o, Jo = jax.vmap(obs_lin)(poses, obs_poses)         # (K,6),(K,6,9)
 
         # assemble block-tridiagonal + bias border
-        ein = lambda s, *a: jnp.einsum(s, *a, precision=HIGHEST)
+        ein = lambda sp, *a: jnp.einsum(sp, *a, precision=HIGHEST)
         D = jnp.zeros((K, 9, 9), dtype)
         D = D.at[:-1].add(ein("kri,krj->kij", Ji, Ji))
         D = D.at[1:].add(ein("kri,krj->kij", Jj, Jj))
@@ -143,6 +128,33 @@ def solve_vi_chain(pre_batch, obs_poses, poses0, vels0, bias0, *,
         r_b = w_b * (bias - bias_anchor)
         return 0.5 * (jnp.sum(r_i * r_i) + jnp.sum(r_o * r_o)
                       + jnp.sum(r_b * r_b))
+
+    return linearize, total_cost
+
+
+def solve_vi_chain(pre_batch, obs_poses, poses0, vels0, bias0, *,
+                   obs_rot_sigma=0.01, obs_trans_sigma=0.02,
+                   bias_prior_sigma=1.0, gravity=pim.GRAVITY,
+                   max_iters=30, lambda_init=1e-4, xtol=1e-12):
+    """MAP smoothing over (poses, velocities, shared bias) with chain
+    factors, O(K) memory and O(K log K) solve depth.
+
+    Same problem and optimum as `vi_smoother.solve_vi_smoother` (parity
+    tested); use this one when K is large. Returns
+    (ViChainState-final, n_iters-implicit-in-state)."""
+    K = obs_poses.t.shape[0]
+    if K < 2:
+        raise ValueError(f"solve_vi_chain needs >= 2 keyframes, got K={K} "
+                         "(no IMU segment to constrain)")
+    dtype = obs_poses.t.dtype
+    w_rot = jnp.asarray(1.0 / obs_rot_sigma, dtype)
+    w_tr = jnp.asarray(1.0 / obs_trans_sigma, dtype)
+    w_b = jnp.asarray(1.0 / bias_prior_sigma, dtype)
+    bias_anchor = jnp.concatenate([pre_batch.bg0[0], pre_batch.ba0[0]])
+
+    linearize, total_cost = _make_system(
+        pre_batch, obs_poses, w_rot, w_tr, w_b, bias_anchor, gravity,
+        K, dtype)
 
     vels0 = vels0.astype(dtype)
     bias0 = bias0.astype(dtype)
@@ -204,3 +216,43 @@ def solve_vi_chain(pre_batch, obs_poses, poses0, vels0, bias0, *,
                             s.it + 1, done, lin_u)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def vi_chain_covariances(pre_batch, obs_poses, poses, vels, bias, *,
+                         obs_rot_sigma=0.01, obs_trans_sigma=0.02,
+                         bias_prior_sigma=1.0, gravity=pim.GRAVITY):
+    """Posterior marginal covariances at the smoother solution — the
+    Kalman-smoother/Ceres-Covariance role for the VI chain.
+
+    Returns (state_cov (K,9,9) in the [omega, dt, dv] tangent, bias_cov
+    (6,6)). With the bordered Hessian H = [[T, U], [U^T, Hbb]] (T block-
+    tridiagonal), the state marginals follow from the Woodbury identity
+
+        (T - U Hbb^-1 U^T)^-1 = T^-1 + T^-1 U cap^-1 U^T T^-1,
+        cap = Hbb - U^T T^-1 U  (the same capacitance the solver forms),
+
+    so  state_cov_k = Takahashi_diag(T)_k + Z_k cap^-1 Z_k^T  with
+    Z = T^-1 U (one multi-RHS tridiag solve), and bias_cov = cap^-1.
+    Only the block-diagonal of T^-1 is ever formed (two-sweep Takahashi,
+    solvers/banded_flat._takahashi_inverse_blocks)."""
+    from slam_tricks_tpu.solvers.banded_flat import _takahashi_inverse_blocks
+
+    K = obs_poses.t.shape[0]
+    if K < 2:
+        raise ValueError(f"vi_chain_covariances needs >= 2 keyframes, got {K}")
+    dtype = obs_poses.t.dtype
+    w_rot = jnp.asarray(1.0 / obs_rot_sigma, dtype)
+    w_tr = jnp.asarray(1.0 / obs_trans_sigma, dtype)
+    w_b = jnp.asarray(1.0 / bias_prior_sigma, dtype)
+    bias_anchor = jnp.concatenate([pre_batch.bg0[0], pre_batch.ba0[0]])
+    linearize, _ = _make_system(pre_batch, obs_poses, w_rot, w_tr, w_b,
+                                bias_anchor, gravity, K, dtype)
+    D, E, U, Hbb, _, _ = linearize(poses, vels.astype(dtype),
+                                   bias.astype(dtype))
+    P, _ = _takahashi_inverse_blocks(D, E, K)          # diag of T^-1
+    Z = block_tridiag_solve(D, E, U)                   # (K,9,6)
+    cap = Hbb - jnp.einsum("kib,kic->bc", U, Z, precision=HIGHEST)
+    bias_cov = jnp.linalg.inv(cap)
+    state_cov = P + jnp.einsum("kib,bc,kjc->kij", Z, bias_cov, Z,
+                               precision=HIGHEST)
+    return state_cov, bias_cov

@@ -335,3 +335,46 @@ def test_vi_chain_large_f32():
     assert ate_sm < ate_obs * 0.4, (ate_sm, ate_obs)
     bt = jnp.concatenate([sim.bg_true, sim.ba_true])
     assert float(jnp.linalg.norm(sol.bias - bt)) < 0.02
+
+
+def test_vi_chain_covariances_match_dense_inverse():
+    """Takahashi diag + bias-Woodbury marginals == the corresponding blocks
+    of the dense bordered-Hessian inverse."""
+    from slam_tricks_tpu.estimation.vi_chain import (_make_system,
+                                                     solve_vi_chain,
+                                                     vi_chain_covariances)
+
+    K = 8
+    sim = _sim(n_keyframes=K, samples_per_seg=30, dt=0.005, sigma_g=2e-4,
+               sigma_a=2e-3, obs_rot_noise=0.005, obs_trans_noise=0.01,
+               seed=3)
+    bias0 = jnp.zeros(6, jnp.float64)
+    pre = vis.preintegrate_segments(sim, bias0[:3], bias0[3:],
+                                    sigma_g=2e-4, sigma_a=2e-3)
+    sol = solve_vi_chain(pre, sim.obs_poses, sim.obs_poses, sim.vels_true,
+                         bias0, obs_rot_sigma=0.005, obs_trans_sigma=0.01,
+                         max_iters=30)
+    sc, bc = vi_chain_covariances(pre, sim.obs_poses, sol.poses, sol.vels,
+                                  sol.bias, obs_rot_sigma=0.005,
+                                  obs_trans_sigma=0.01)
+    anchor = jnp.concatenate([pre.bg0[0], pre.ba0[0]])
+    lin, _ = _make_system(pre, sim.obs_poses, jnp.float64(1 / 0.005),
+                          jnp.float64(1 / 0.01), jnp.float64(1.0), anchor,
+                          (0.0, 0.0, -9.81), K, jnp.float64)
+    D, E, U, Hbb, _, _ = lin(sol.poses, sol.vels, sol.bias)
+    n = 9 * K
+    H = np.zeros((n + 6, n + 6))
+    for k in range(K):
+        H[9 * k:9 * k + 9, 9 * k:9 * k + 9] = np.asarray(D[k])
+        H[9 * k:9 * k + 9, n:] = np.asarray(U[k])
+        H[n:, 9 * k:9 * k + 9] = np.asarray(U[k]).T
+    for k in range(K - 1):
+        H[9 * (k + 1):9 * (k + 2), 9 * k:9 * k + 9] = np.asarray(E[k])
+        H[9 * k:9 * k + 9, 9 * (k + 1):9 * (k + 2)] = np.asarray(E[k]).T
+    H[n:, n:] = np.asarray(Hbb)
+    Hinv = np.linalg.inv(H)
+    for k in range(K):
+        np.testing.assert_allclose(
+            np.asarray(sc[k]), Hinv[9 * k:9 * k + 9, 9 * k:9 * k + 9],
+            atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bc), Hinv[n:, n:], atol=1e-12)
