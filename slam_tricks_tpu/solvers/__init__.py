@@ -8,6 +8,9 @@ from slam_tricks_tpu.solvers.posegraph import (  # noqa: F401
     solve_pose_graph,
     solve_pose_graph_chain,
 )
+from slam_tricks_tpu.solvers.posegraph_sim3 import (  # noqa: F401
+    solve_pose_graph_sim3,
+)
 from slam_tricks_tpu.solvers.schur import solve_ba, solve_ba_jit  # noqa: F401
 from slam_tricks_tpu.solvers.banded_flat import (  # noqa: F401
     banded_covariances,
