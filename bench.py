@@ -714,6 +714,69 @@ def stage_configs(ctx, detail):
     except Exception as e:
         out["two_view_cv2_error"] = type(e).__name__
 
+    # Sim(3) scale-drift pose graph (mono essential-graph regime, f32 on
+    # chip): drifted odometry + exact loop similarities; slope-timed LM
+    def _sim3_pgo():
+        from functools import lru_cache
+
+        from slam_tricks_tpu.manifolds import sim3
+        from slam_tricks_tpu.solvers import solve_pose_graph_sim3
+
+        N = 32 if SMOKE else 96
+        n_loops, ds = 4 if SMOKE else 6, 0.004
+        r2 = np.random.default_rng(12)
+        ang = 2 * np.pi * np.arange(N) / N
+        tt = np.stack([10 * np.cos(ang), 10 * np.sin(ang),
+                       0.1 * np.sin(3 * ang)], 1).astype(np.float32)
+        Rt = np.stack([np.array([[np.cos(a), -np.sin(a), 0],
+                                 [np.sin(a), np.cos(a), 0],
+                                 [0, 0, 1]]) for a in ang]).astype(np.float32)
+        p = np.exp(-ds * np.arange(N)).astype(np.float32)
+        gt = sim3.Sim3(jnp.asarray(Rt), jnp.asarray(tt), jnp.asarray(p))
+        ii = np.concatenate([np.arange(N - 1),
+                             r2.integers(0, N // 4, n_loops)])
+        jj = np.concatenate([np.arange(1, N),
+                             r2.integers(3 * N // 4, N, n_loops)])
+        Si = jax.tree_util.tree_map(lambda a: a[ii], gt)
+        Sj = jax.tree_util.tree_map(lambda a: a[jj], gt)
+        Zc = jax.vmap(lambda a, b: sim3.mul(sim3.inv(a), b))(Si, Sj)
+        xi = (r2.normal(size=(len(ii), 7)) * 1e-3).astype(np.float32)
+        xi[N - 1:] = 0.0
+        Z = jax.vmap(lambda S, x: sim3.mul(S, sim3.exp(x)))(Zc, jnp.asarray(xi))
+        info = np.broadcast_to(np.eye(7, dtype=np.float32),
+                               (len(ii), 7, 7)).copy()
+        info[N - 1:] *= 10.0
+        # uncorrected mono map init: integrate (R, t), s = 1
+        Rz, tz = np.array(Z.R, np.float64), np.array(Z.t, np.float64)
+        R0, t0 = [Rt[0].astype(np.float64)], [tt[0].astype(np.float64)]
+        for k in range(N - 1):
+            t0.append(R0[-1] @ tz[k] + t0[-1])
+            R0.append(R0[-1] @ Rz[k])
+        poses0 = sim3.Sim3(jnp.asarray(np.stack(R0), jnp.float32),
+                           jnp.asarray(np.stack(t0), jnp.float32),
+                           jnp.ones(N, jnp.float32))
+        ii_j, jj_j, info_j = jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(info)
+
+        @lru_cache(maxsize=None)
+        def solve_n(n):
+            return jax.jit(lambda P, Z_, I_: solve_pose_graph_sim3(
+                P, ii_j, jj_j, Z_, I_, max_iters=n, xtol=0.0))
+
+        i1, i2 = (3, 8) if SMOKE else (10, 40)
+        t1, o1, t2, o2 = _timeit_slope(
+            lambda n: solve_n(n)(poses0, Z, info_j), i1, i2, reps=2)
+        per_iter = _safe_slope(t1, int(o1.it), t2, int(o2.it))
+        s_err = float(np.abs(np.array(o2.poses.s) / p - 1.0).max())
+        ate = float(np.sqrt(np.mean(np.sum(
+            (np.array(o2.poses.t, np.float64) - tt) ** 2, 1))))
+        out["sim3_pgo_ms_per_iter"] = round(per_iter * 1e3, 3)
+        out["sim3_pgo_n_keyframes"] = N
+        out["sim3_pgo_scale_err"] = round(s_err, 5)
+        out["sim3_pgo_ate"] = round(ate, 4)
+        out["sim3_pgo_final_cost"] = float(o2.cost)
+
+    _cfg("sim3_pgo", _sim3_pgo)
+
 
 def stage_breakdown(ctx, detail):
     """Per-stage ms of the xla flat iteration, SLOPE-timed (round-5: a

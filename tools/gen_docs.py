@@ -137,6 +137,14 @@ def render_blocks(art, src_name):
         f"+{fmt(cfg.get('two_view_refine_only_ms'))} ms to cost "
         f"{fmt(cfg.get('two_view_final_cost'))} (init-only cost "
         f"{fmt(cfg.get('two_view_init_only_cost'), 4)})",
+        f"- Sim(3) scale-drift pose graph "
+        f"({cfg.get('sim3_pgo_n_keyframes')} keyframes, f32): "
+        f"{fmt(cfg.get('sim3_pgo_ms_per_iter'))} ms/LM-iter true; latent "
+        f"scale profile recovered to "
+        f"{fmt(100 * cfg.get('sim3_pgo_scale_err', 0), 2)}%, ATE "
+        f"{fmt(cfg.get('sim3_pgo_ate'), 4)} m"
+        if cfg.get("sim3_pgo_ms_per_iter") is not None else
+        "- Sim(3) scale-drift pose graph: (stage not run)",
     ]
     return {"headline": "\n".join(headline), "large": "\n".join(large),
             "configs": "\n".join(configs)}
